@@ -1,0 +1,447 @@
+package graft.extract
+
+import graft.html._
+import scala.collection.mutable.ArrayBuffer
+
+/** DOM → classified content blocks.
+  *
+  * Generalizes the reference's class-dispatched LaTeXML walk
+  * (/root/reference/nougat/dataset/parser/latexml_parser.py:98-413) to
+  * arbitrary web HTML: structural dispatch by tag, plus a
+  * Boilerpipe/Readability-style text-density + link-density block
+  * classifier standing in for the reference's ignore/unwrap selector
+  * tables (latexml_parser.py:23-48,403-406) and its header/footer scrub
+  * (split_md_to_pages.py:176-236).
+  *
+  * All decisions are pure functions of the DOM — deterministic by
+  * construction (north rule: byte-identical output per url).
+  */
+object BlockSegmenter {
+
+  /** Subtrees that are boilerplate by construction. */
+  private val dropTags = Set("nav", "footer", "aside", "form", "select", "button",
+    "iframe", "noscript", "template", "svg", "head", "dialog", "menu")
+
+  /** class/id fragments that mark boilerplate containers. */
+  private val dropClassRe = java.util.regex.Pattern.compile(
+    "(?:^|[-_ ])(?:nav|navbar|menu|footer|sidebar|cookie|banner|breadcrumbs?|share|social|related|widget|promo|ads?|advert(?:isement)?|comments?|popup|modal|subscribe|newsletter|pagination|masthead|skip)(?:[-_ ]|$)")
+
+  private val inlineTags = Set("a", "b", "strong", "i", "em", "u", "s", "span",
+    "sup", "sub", "code", "small", "abbr", "cite", "time", "mark", "q", "var",
+    "kbd", "samp", "tt", "font", "big", "label", "data", "bdi", "bdo", "wbr", "ins", "del")
+
+  private def isBoiler(e: DomElem): Boolean = {
+    if (dropTags.contains(e.tag)) return true
+    val cls = e.attrs.getOrElse("class", "") + " " + e.attrs.getOrElse("id", "")
+    cls.nonEmpty && dropClassRe.matcher(cls.toLowerCase).find()
+  }
+
+  /** Deterministic per-doc id assignment replacing uuid4()[:5]
+    * (markdown.py:168,184,219): source id attribute when present, else
+    * "<prefix>-<counter>".
+    */
+  final class IdGen {
+    private var counters = Map.empty[String, Int]
+    def next(prefix: String, explicit: Option[String]): String = explicit match {
+      case Some(id) if id.nonEmpty => id
+      case _ =>
+        val c = counters.getOrElse(prefix, 0) + 1
+        counters += (prefix -> c)
+        s"$prefix-$c"
+    }
+  }
+
+  def segment(root: DomElem): SegResult = {
+    val ids = new IdGen
+    var kept = 0
+    var dropped = 0
+    val out = new ArrayBuffer[Block](32)
+
+    val body = findBody(root)
+
+    def countCandidates(n: DomNode): Int = n match {
+      case DomText(_) => 0
+      case e: DomElem =>
+        val self = e.tag match {
+          case "p" | "h1" | "h2" | "h3" | "h4" | "h5" | "h6" | "li" | "blockquote" | "pre" | "table" => 1
+          case _ => 0
+        }
+        self + e.children.map(countCandidates).sum
+    }
+
+    def emit(b: Block, keep: Boolean): Unit =
+      if (keep) { kept += 1; out += b } else dropped += 1
+
+    /** Walk a container element's children, forming blocks. Loose inline
+      * runs directly under a container are folded into implicit paragraphs.
+      */
+    def walk(e: DomElem): Unit = {
+      var run = new ArrayBuffer[DomNode](8) // pending inline run
+      def flushRun(): Unit = {
+        if (run.nonEmpty) {
+          val inl = inlines(run.toVector, ids)
+          classifyPara(inl).foreach { case (b, keep) => emit(b, keep) }
+          run = new ArrayBuffer[DomNode](8)
+        }
+      }
+      e.children.foreach {
+        case t: DomText => if (t.text.exists(!_.isWhitespace)) run += t else if (run.nonEmpty) run += t
+        case el: DomElem if isBoiler(el) =>
+          if (el.tag == "head" || el.tag == "template" || el.tag == "svg" || el.tag == "noscript") ()
+          else dropped += math.max(1, countCandidates(el))
+        case el: DomElem if el.tag == "header" =>
+          // page mastheads: rescue only the headline elements
+          flushRun()
+          el.children.foreach {
+            case h: DomElem if h.tag.length == 2 && h.tag(0) == 'h' && h.tag(1).isDigit =>
+              handleBlock(h)
+            case c: DomElem => dropped += math.max(1, countCandidates(c))
+            case _ => ()
+          }
+        case el: DomElem if inlineTags.contains(el.tag) || isMathElem(el) => run += el
+        case el: DomElem if el.tag == "br" => run += el
+        case el: DomElem => flushRun(); handleBlock(el)
+      }
+      flushRun()
+    }
+
+    def handleBlock(el: DomElem): Unit = el.tag match {
+      case "p" =>
+        val inl = inlines(el.children, ids)
+        classifyPara(inl).foreach { case (b, keep) => emit(b, keep) }
+      case t if t.length == 2 && t(0) == 'h' && t(1).isDigit =>
+        val lvl = t(1) - '0'
+        val inl = inlines(el.children, ids)
+        val txt = inlineText(inl)
+        if (txt.exists(!_.isWhitespace))
+          emit(BHeader(lvl, inl), linkDensity(inl) < 0.5)
+      case "ul" | "ol" =>
+        val b = buildList(el, ids)
+        if (b.items.nonEmpty) {
+          val inl = b.items.flatten.flatMap(blockInlines)
+          val allLinkItems = b.items.forall { item =>
+            val is = item.flatMap(blockInlines)
+            is.nonEmpty && isAllLink(is)
+          }
+          emit(b, linkDensity(inl) <= 0.5 && !allLinkItems)
+        }
+      case "table" =>
+        buildTable(el, ids).foreach { b =>
+          val inl = b.rows.flatten.flatMap(_.inlines)
+          emit(b, linkDensity(inl) <= 0.6)
+        }
+      case "figure" =>
+        val capEl = el.children.collectFirst { case c: DomElem if c.tag == "figcaption" => c }
+        val cap = capEl.map(c => inlines(c.children, ids)).getOrElse(Vector.empty)
+        val id = ids.next("fig", el.attr("id"))
+        emit(BFigure(id, cap), true)
+        // content inside a figure other than the caption (e.g. a table)
+        el.children.foreach {
+          case c: DomElem if c.tag == "table" => handleBlock(c)
+          case _ => ()
+        }
+      case "blockquote" =>
+        val inner = segmentContainer(el)
+        if (inner.nonEmpty) emit(BQuote(inner), true)
+      case "pre" =>
+        val txt = rawText(el)
+        if (txt.exists(!_.isWhitespace)) emit(BCode(txt.stripLineEnd), true)
+      case "hr" => emit(BRule(), true)
+      case "dl" =>
+        val items = buildDefList(el, ids)
+        if (items.nonEmpty) emit(BDefList(items), true)
+      case "math" =>
+        mathTex(el) match {
+          case Some(tex) =>
+            val disp = el.attr("display").contains("block")
+            val id = ids.next("eq", el.attr("id"))
+            if (disp) emit(BMathBlock(tex, id), true)
+            else classifyPara(Vector(IMath(tex, false, id))).foreach { case (b, k) => emit(b, k) }
+          case None => ()
+        }
+      case "main" | "article" | "section" | "div" | "body" | "center" | "details" |
+           "summary" | "fieldset" | "address" | "hgroup" | "figcaption" | "caption" |
+           "colgroup" | "col" | "picture" | "audio" | "video" | "map" | "object" =>
+        el.tag match {
+          case "figcaption" | "colgroup" | "col" => ()
+          case "picture" | "audio" | "video" | "map" | "object" => ()
+          case _ => walk(el)
+        }
+      case "title" | "style" | "script" | "link" | "meta" | "base" | "img" |
+           "input" | "textarea" | "option" | "optgroup" | "canvas" | "embed" |
+           "param" | "source" | "track" | "area" => ()
+      case _ => walk(el) // unknown container: transparent unwrap (latexml_parser.py:403-406)
+    }
+
+    /** Segment a nested container into blocks without touching counters
+      * for the container itself (used for blockquote/list items).
+      */
+    def segmentContainer(el: DomElem): Vector[Block] = {
+      val saveOut = out.length
+      val saveKept = kept; val saveDropped = dropped
+      walk(el)
+      val added = out.slice(saveOut, out.length).toVector
+      out.remove(saveOut, out.length - saveOut)
+      kept = saveKept; dropped = saveDropped
+      added
+    }
+
+    def buildList(el: DomElem, ids: IdGen): BList = {
+      val ordered = el.tag == "ol"
+      val items = el.children.collect {
+        case li: DomElem if li.tag == "li" =>
+          val nestedLists = li.children.collect {
+            case c: DomElem if c.tag == "ul" || c.tag == "ol" => c
+          }
+          val inlineKids = li.children.filterNot(nestedLists.contains(_))
+          val inl = inlines(inlineKids, ids)
+          val head: Vector[Block] =
+            if (inlineText(inl).exists(!_.isWhitespace)) Vector(BPara(inl)) else Vector.empty
+          head ++ nestedLists.map(nl => buildList(nl, ids))
+      }.filter(_.nonEmpty)
+      BList(ordered, items.toVector)
+    }
+
+    def buildDefList(el: DomElem, ids: IdGen): Vector[(Vector[Inline], Vector[Inline])] = {
+      var term: Vector[Inline] = Vector.empty
+      val items = new ArrayBuffer[(Vector[Inline], Vector[Inline])]
+      el.children.foreach {
+        case d: DomElem if d.tag == "dt" => term = inlines(d.children, ids)
+        case d: DomElem if d.tag == "dd" =>
+          items += ((term, inlines(d.children, ids))); term = Vector.empty
+        case _ => ()
+      }
+      items.toVector
+    }
+
+    def buildTable(el: DomElem, ids: IdGen): Option[BTable] = {
+      val id = ids.next("tab", el.attr("id"))
+      var caption: Vector[Inline] = Vector.empty
+      val rows = new ArrayBuffer[Vector[BCell]]
+      def rowOf(tr: DomElem): Vector[BCell] =
+        tr.children.collect {
+          case c: DomElem if c.tag == "td" || c.tag == "th" =>
+            val cs = c.attr("colspan").flatMap(_.toIntOption).getOrElse(1).max(1).min(100)
+            val rs = c.attr("rowspan").flatMap(_.toIntOption).getOrElse(1).max(1).min(100)
+            val al = c.attr("align").orElse(styleAlign(c)).map(_.head.toLower).filter("lcr".contains(_)).getOrElse('l')
+            BCell(inlines(c.children, ids), cs, rs, al, c.tag == "th")
+        }.toVector
+      def scan(n: DomElem): Unit = n.children.foreach {
+        case tr: DomElem if tr.tag == "tr" => val r = rowOf(tr); if (r.nonEmpty) rows += r
+        case sec: DomElem if Set("thead", "tbody", "tfoot").contains(sec.tag) => scan(sec)
+        case cap: DomElem if cap.tag == "caption" => caption = inlines(cap.children, ids)
+        case _ => ()
+      }
+      scan(el)
+      if (rows.isEmpty) None else Some(BTable(id, caption, rows.toVector))
+    }
+
+    walk(body)
+    SegResult(pruneEmptySections(out.toVector), SegStats(kept, dropped))
+  }
+
+  // ---- inline collection ------------------------------------------------
+
+  private def isMathElem(e: DomElem): Boolean =
+    e.tag == "math" ||
+      (e.attrs.contains("alttext") || e.attrs.contains("aria-label")) &&
+        (e.classes.exists(c => c.toLowerCase.contains("math")) || e.tag == "math")
+
+  /** TeX capture per latexml_parser.py:147-167: alttext / aria-label. */
+  private def mathTex(e: DomElem): Option[String] =
+    e.attr("alttext").orElse(e.attr("aria-label")).map(_.trim).filter(_.nonEmpty)
+
+  def inlines(nodes: Vector[DomNode], ids: IdGen): Vector[Inline] = {
+    val out = new ArrayBuffer[Inline](8)
+    def rec(ns: Vector[DomNode]): Unit = ns.foreach {
+      case DomText(t) => out += ITxt(t)
+      case e: DomElem => e.tag match {
+        case "br" => out += ITxt("\n")
+        case "b" | "strong" => out += IBold(inlines(e.children, ids))
+        case "i" | "em" | "cite" | "var" => out += IItal(inlines(e.children, ids))
+        case "sup" =>
+          if (isFootnoteRef(e)) out ++= inlines(e.children, ids) // ref marker text kept
+          else out += ISup(inlines(e.children, ids))
+        case "sub" => out += ISub(inlines(e.children, ids))
+        case "code" | "tt" | "kbd" | "samp" =>
+          val t = rawText(e); if (t.nonEmpty) out += ICode(t)
+        case "a" =>
+          val kids = inlines(e.children, ids)
+          val href = e.attrs.getOrElse("href", "")
+          out += ILink(href, kids)
+        case "math" =>
+          mathTex(e).foreach { tex =>
+            out += IMath(tex, e.attr("display").contains("block"), ids.next("eq", e.attr("id")))
+          }
+        case "img" | "script" | "style" | "select" | "option" | "input" | "textarea" => ()
+        case _ if isMathElem(e) =>
+          mathTex(e).foreach { tex =>
+            val disp = e.classes.exists(_.toLowerCase.contains("display")) ||
+              e.attr("display").contains("block")
+            out += IMath(tex, disp, ids.next("eq", e.attr("id")))
+          }
+        case _ if isFootnoteElem(e) =>
+          val id = ids.next("fn", e.attr("id"))
+          out += IFootnote(id, inlines(e.children, ids))
+        case _ => rec(e.children) // transparent inline unwrap
+      }
+    }
+    rec(nodes)
+    out.toVector
+  }
+
+  private def isFootnoteElem(e: DomElem): Boolean =
+    e.attr("role").contains("doc-footnote") ||
+      e.classes.exists(c => { val l = c.toLowerCase; l.contains("footnote") || l == "ltx_note" })
+
+  private def isFootnoteRef(e: DomElem): Boolean =
+    e.attr("role").contains("doc-noteref") ||
+      e.classes.exists(_.toLowerCase.contains("footnote-ref"))
+
+  private def styleAlign(e: DomElem): Option[String] = {
+    val st = e.attrs.getOrElse("style", "").toLowerCase
+    val m = "text-align\\s*:\\s*(left|center|right)".r.findFirstMatchIn(st)
+    m.map(_.group(1))
+  }
+
+  def rawText(n: DomNode): String = n match {
+    case DomText(t) => t
+    case e: DomElem if e.tag == "script" || e.tag == "style" => ""
+    case e: DomElem => e.children.map(rawText).mkString
+  }
+
+  // ---- classification ----------------------------------------------------
+
+  def inlineText(inl: Vector[Inline]): String = inl.map {
+    case ITxt(s) => s
+    case IBold(c) => inlineText(c)
+    case IItal(c) => inlineText(c)
+    case ISup(c) => inlineText(c)
+    case ISub(c) => inlineText(c)
+    case ICode(s) => s
+    case ILink(_, c) => inlineText(c)
+    case IMath(tex, _, _) => tex
+    case IFootnote(_, c) => inlineText(c)
+  }.mkString
+
+  private def blockInlines(b: Block): Vector[Inline] = b match {
+    case BPara(i) => i
+    case BHeader(_, i) => i
+    case BQuote(bs) => bs.flatMap(blockInlines)
+    case BList(_, items) => items.flatten.flatMap(blockInlines)
+    case BFigure(_, c) => c
+    case BTable(_, c, rows) => c ++ rows.flatten.flatMap(_.inlines)
+    case BDefList(items) => items.flatMap(x => x._1 ++ x._2)
+    case _ => Vector.empty
+  }
+
+  private def isCjk(c: Char): Boolean = {
+    val i = c.toInt
+    (i >= 0x4E00 && i <= 0x9FFF) || (i >= 0x3040 && i <= 0x30FF) ||
+      (i >= 0xAC00 && i <= 0xD7A3) || (i >= 0x3400 && i <= 0x4DBF)
+  }
+
+  /** Word count; CJK scripts have no spaces, so each CJK codepoint counts
+    * as a word (standard heuristic — keeps the density classifier
+    * meaningful on zh/ja/ko pages).
+    */
+  private def words(s: String): Int = {
+    var n = 0; var in = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isCjk(c)) { n += 1; in = false }
+      else {
+        val w = !c.isWhitespace
+        if (w && !in) n += 1
+        in = w
+      }
+      i += 1
+    }
+    n
+  }
+
+  def linkDensity(inl: Vector[Inline]): Double = {
+    var total = 0; var link = 0
+    def rec(is: Vector[Inline], inLink: Boolean): Unit = is.foreach {
+      case ILink(_, c) => rec(c, true)
+      case ITxt(s) => val w = words(s); total += w; if (inLink) link += w
+      case ICode(s) => val w = words(s); total += w; if (inLink) link += w
+      case IMath(_, _, _) => total += 1; if (inLink) link += 1
+      case IBold(c) => rec(c, inLink)
+      case IItal(c) => rec(c, inLink)
+      case ISup(c) => rec(c, inLink)
+      case ISub(c) => rec(c, inLink)
+      case IFootnote(_, c) => rec(c, inLink)
+    }
+    rec(inl, false)
+    if (total == 0) 0.0 else link.toDouble / total
+  }
+
+  private def isAllLink(inl: Vector[Inline]): Boolean = {
+    val txt = inlineText(inl).trim
+    txt.nonEmpty && {
+      val linkTxt = inl.collect { case ILink(_, c) => inlineText(c) }.mkString.trim
+      // all visible words inside links (whitespace outside allowed)
+      words(linkTxt) == words(txt)
+    }
+  }
+
+  /** Paragraph classifier: the text-density/link-density rule set
+    * (deterministic spec, frozen):
+    *  - empty → no block at all;
+    *  - link_density > 0.4 → boilerplate;
+    *  - < 3 words and no sentence punctuation and no math → boilerplate;
+    *  - else content.
+    */
+  private def classifyPara(inl: Vector[Inline]): Option[(Block, Boolean)] = {
+    val txt = inlineText(inl)
+    if (!txt.exists(!_.isWhitespace)) None
+    else {
+      val ld = linkDensity(inl)
+      val w = words(txt)
+      val hasPunct = txt.exists(c => c == '.' || c == '!' || c == '?' || c == ';' || c == ':' || c == ',' ||
+        c == '。' || c == '，' || c == '、' || c == '！' || c == '？')
+      val hasMath = inl.exists { case IMath(_, _, _) => true; case _ => false }
+      val keep = ld <= 0.4 && (w >= 3 || hasPunct || hasMath)
+      Some((BPara(inl), keep))
+    }
+  }
+
+  /** Empty-section pruning (markdown.py:88-95,201-204): a header with no
+    * content before the next header of same-or-higher rank is dropped.
+    */
+  def pruneEmptySections(blocks: Vector[Block]): Vector[Block] = {
+    val keep = Array.fill(blocks.length)(true)
+    var i = 0
+    while (i < blocks.length) {
+      blocks(i) match {
+        case BHeader(lvl, _) =>
+          var j = i + 1
+          var hasContent = false
+          var stop = false
+          while (j < blocks.length && !stop) {
+            blocks(j) match {
+              case BHeader(l2, _) if l2 <= lvl => stop = true
+              case BHeader(_, _) => j += 1 // deeper header: keep scanning
+              case _ => hasContent = true; stop = true
+            }
+          }
+          if (!hasContent) keep(i) = false
+        case _ => ()
+      }
+      i += 1
+    }
+    blocks.zipWithIndex.collect { case (b, k) if keep(k) => b }
+  }
+
+  private def findBody(root: DomElem): DomElem = {
+    def find(e: DomElem): Option[DomElem] =
+      if (e.tag == "body") Some(e)
+      else e.children.collectFirst(Function.unlift {
+        case c: DomElem => find(c)
+        case _ => None
+      })
+    find(root).getOrElse(root)
+  }
+}

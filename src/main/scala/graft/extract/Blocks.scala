@@ -1,0 +1,41 @@
+package graft.extract
+
+/** Intermediate document AST between DOM and markdown — our analog of the
+  * reference's dataclass tree (/root/reference/nougat/dataset/parser/
+  * document.py:34-373), reduced to what web extraction emits. Pure data;
+  * built per-row inside mapPartitions, never a Spark type.
+  */
+sealed trait Inline
+final case class ITxt(s: String) extends Inline
+final case class IBold(children: Vector[Inline]) extends Inline
+final case class IItal(children: Vector[Inline]) extends Inline
+final case class ISup(children: Vector[Inline]) extends Inline
+final case class ISub(children: Vector[Inline]) extends Inline
+final case class ICode(s: String) extends Inline
+final case class ILink(target: String, children: Vector[Inline]) extends Inline
+/** TeX math; `display` per latexml_parser.py:147-167 semantics. */
+final case class IMath(tex: String, display: Boolean, id: String) extends Inline
+/** Footnote hoisted out of the paragraph (latexml_parser.py:126-140). */
+final case class IFootnote(id: String, body: Vector[Inline]) extends Inline
+
+sealed trait Block
+final case class BPara(inlines: Vector[Inline]) extends Block
+final case class BHeader(level: Int, inlines: Vector[Inline]) extends Block
+final case class BQuote(blocks: Vector[Block]) extends Block
+final case class BCode(text: String) extends Block
+final case class BRule() extends Block
+final case class BList(ordered: Boolean, items: Vector[Vector[Block]]) extends Block
+final case class BFigure(id: String, caption: Vector[Inline]) extends Block
+final case class BTable(id: String, caption: Vector[Inline], rows: Vector[Vector[BCell]]) extends Block
+final case class BMathBlock(tex: String, id: String) extends Block
+/** (term, definition) pairs from dl/dt/dd (document.py:264-306 analog). */
+final case class BDefList(items: Vector[(Vector[Inline], Vector[Inline])]) extends Block
+
+/** align: 'l' | 'c' | 'r'; colspan/rowspan ≥ 1. */
+final case class BCell(inlines: Vector[Inline], colspan: Int, rowspan: Int,
+                       align: Char, header: Boolean)
+
+/** Per-document segmentation counters (north_star metrics). */
+final case class SegStats(blocksKept: Int, blocksDropped: Int)
+
+final case class SegResult(blocks: Vector[Block], stats: SegStats)

@@ -1,0 +1,76 @@
+package graft.extract
+
+import graft.core.{ExtractedDoc, PageRow, Span}
+import graft.html.DomBuilder
+import graft.post.Postprocess
+import java.nio.charset.StandardCharsets
+import scala.util.control.NonFatal
+
+/** The per-row extraction pipeline: html bytes → tokenize → DOM → block
+  * classify → serialize (span markers) → postprocess → span reinsert.
+  *
+  * Deterministic end to end (north rule: byte-identical markdown + span
+  * offsets per url). Faults are isolated per row (reference analog:
+  * pebble timeout/fault isolation, split_htmls_to_pages.py:140-176) —
+  * a bad page yields an `ok=false` row, never a job failure.
+  */
+object Extractor {
+
+  final case class Config(
+      maxHtmlBytes: Int = 16 << 20, // hard cap on per-row input (skew guard)
+      maxTokens: Int = 1 << 20,
+      maxDomDepth: Int = 256,
+      maxDomNodes: Int = 1 << 20,
+      markdownFix: Boolean = true
+  )
+
+  val default: Config = Config()
+
+  def extract(url: String, htmlBytes: Array[Byte], cfg: Config = default): ExtractedDoc = {
+    try {
+      if (htmlBytes == null || htmlBytes.isEmpty)
+        return failure(url, "empty-input")
+      val sliced =
+        if (htmlBytes.length > cfg.maxHtmlBytes) java.util.Arrays.copyOf(htmlBytes, cfg.maxHtmlBytes)
+        else htmlBytes
+      // NBSP -> space at ingest, as the reference does on raw html
+      // (html2md.py:52, split_htmls_to_pages.py:69)
+      val html = new String(sliced, StandardCharsets.UTF_8).replace('\u00A0', ' ')
+      extractHtml(url, html, cfg)
+    } catch {
+      case NonFatal(e) => failure(url, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
+  }
+
+  def extractHtml(url: String, html: String, cfg: Config = default): ExtractedDoc = {
+    try {
+      val dom = DomBuilder.build(
+        graft.html.HtmlTokenizer.tokenize(html, cfg.maxTokens),
+        cfg.maxDomDepth, cfg.maxDomNodes)
+      val seg = BlockSegmenter.segment(dom)
+      val ser = MarkdownSerializer.serialize(seg.blocks)
+      val post = Postprocess.postprocessSingle(ser.markdown, cfg.markdownFix)
+      val (finalMd, spans) = SpanReinserter.reinsert(post.text, ser.bodies)
+      val counts = spans.groupBy(_.kind).map { case (k, v) => (k, v.length) }
+      ExtractedDoc(
+        url = url,
+        markdown = finalMd,
+        spans = spans,
+        blocks_kept = seg.stats.blocksKept,
+        blocks_dropped = seg.stats.blocksDropped,
+        span_counts = counts,
+        ok = true,
+        error = ""
+      )
+    } catch {
+      case NonFatal(e) => failure(url, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
+  }
+
+  private def failure(url: String, msg: String): ExtractedDoc =
+    ExtractedDoc(url, "", Vector.empty, 0, 0, Map.empty, ok = false, error = msg)
+
+  /** mapPartitions entry point over the pages table. */
+  def run(rows: Iterator[PageRow], cfg: Config = default): Iterator[ExtractedDoc] =
+    rows.map(r => extract(r.url, r.html, cfg))
+}

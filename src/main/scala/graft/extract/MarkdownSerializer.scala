@@ -1,0 +1,263 @@
+package graft.extract
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Block AST → markdown with structural spans.
+  *
+  * Re-expression of `format_element`/`format_document`
+  * (/root/reference/nougat/dataset/parser/markdown.py:98-327,367-396).
+  * Span bodies (math/table/figure/footnote) are emitted as opaque
+  * control-char markers `\uE000<idx>\uE001` (private-use chars, stripped from input text by the tokenizer so they can never collide) with bodies in a side vector
+  * — the analog of the reference's span-marker + figures-dict design
+  * (markdown.py:391-395) — so the postprocess stages never rewrite span
+  * interiors; `SpanReinserter` splices bodies back and computes final
+  * [start,end) offsets per the north rule.
+  */
+object MarkdownSerializer {
+
+  final case class SpanBody(kind: String, id: String, body: String)
+  final case class Serialized(markdown: String, bodies: Vector[SpanBody])
+
+  private val supMap: Map[Char, Char] = Map(
+    '0' -> '⁰', '1' -> '¹', '2' -> '²', '3' -> '³', '4' -> '⁴',
+    '5' -> '⁵', '6' -> '⁶', '7' -> '⁷', '8' -> '⁸', '9' -> '⁹',
+    '+' -> '⁺', '-' -> '⁻', '=' -> '⁼', '(' -> '⁽', ')' -> '⁾', 'n' -> 'ⁿ', 'i' -> 'ⁱ')
+  private val subMap: Map[Char, Char] = Map(
+    '0' -> '₀', '1' -> '₁', '2' -> '₂', '3' -> '₃', '4' -> '₄',
+    '5' -> '₅', '6' -> '₆', '7' -> '₇', '8' -> '₈', '9' -> '₉',
+    '+' -> '₊', '-' -> '₋', '=' -> '₌', '(' -> '₍', ')' -> '₎')
+
+  def serialize(blocks: Vector[Block]): Serialized = {
+    val bodies = new ArrayBuffer[SpanBody](8)
+    val footnotes = new ArrayBuffer[(String, String)](4)
+
+    def marker(kind: String, id: String, body: String): String = {
+      bodies += SpanBody(kind, id, body)
+      "\uE000" + (bodies.length - 1) + "\uE001"
+    }
+
+    def inl(is: Vector[Inline], spans: Boolean): String = {
+      val sb = new java.lang.StringBuilder(64)
+      is.foreach {
+        case ITxt(s) => sb.append(collapseWs(s))
+        case IBold(c) =>
+          val inner = inl(c, spans)
+          sb.append(hoist(inner, "**"))
+        case IItal(c) =>
+          val inner = inl(c, spans)
+          sb.append(hoist(inner, "_"))
+        case ISup(c) =>
+          val inner = inl(c, spans).trim
+          if (inner.nonEmpty) {
+            if (inner.forall(supMap.contains)) sb.append(inner.map(supMap))
+            else sb.append("^{").append(inner).append("}")
+          }
+        case ISub(c) =>
+          val inner = inl(c, spans).trim
+          if (inner.nonEmpty) {
+            if (inner.forall(subMap.contains)) sb.append(inner.map(subMap))
+            else sb.append("_{").append(inner).append("}")
+          }
+        case ICode(s) =>
+          val t = s.trim
+          if (t.nonEmpty) sb.append('`').append(t).append('`')
+        case ILink(target, c) =>
+          val text = inl(c, spans).trim
+          if (text.nonEmpty) {
+            if (target.startsWith("http://") || target.startsWith("https://"))
+              sb.append('[').append(text).append("](").append(target).append(')')
+            else sb.append(text)
+          }
+        case IMath(tex, display, id) =>
+          val body = TexNormalizer.normalize(tex, inline = !display)
+          if (body.nonEmpty) {
+            if (spans) sb.append(marker(if (display) "math_display" else "math_inline", id, body))
+            else sb.append(body)
+          }
+        case IFootnote(id, c) =>
+          val body = inl(c, spans = false).trim
+          if (body.nonEmpty) {
+            footnotes += ((id, body))
+            sb.append("[^").append(id).append(']')
+          }
+      }
+      sb.toString
+    }
+
+    def list(b: BList, depth: Int): String = {
+      val indent = "  " * depth
+      val lines = new ArrayBuffer[String](b.items.length)
+      var n = 0
+      b.items.foreach { item =>
+        n += 1
+        val bullet = if (b.ordered) s"$n. " else "* "
+        var first = true
+        item.foreach {
+          case nested: BList =>
+            val s = list(nested, depth + 1)
+            if (s.nonEmpty) lines += s
+          case blk =>
+            val s = block(blk, depth)
+            if (s.nonEmpty) {
+              if (first) { lines += indent + bullet + s; first = false }
+              else lines += indent + "  " + s
+            }
+        }
+      }
+      lines.mkString("\n")
+    }
+
+    def tableBody(t: BTable): String = {
+      // column count = max expanded width (document.py:604-697 _square_table analog)
+      val ncols = t.rows.map(_.map(_.colspan).sum).maxOption.getOrElse(0).min(64)
+      // majority alignment per column (document.py:660-693)
+      val votes = Array.fill(ncols)(scala.collection.mutable.Map.empty[Char, Int])
+      t.rows.foreach { row =>
+        var ci = 0
+        row.foreach { c =>
+          if (c.colspan == 1 && ci < ncols) {
+            val m = votes(ci); m(c.align) = m.getOrElse(c.align, 0) + 1
+          }
+          ci += c.colspan
+        }
+      }
+      val spec = votes.map { m =>
+        if (m.isEmpty) 'l'
+        else m.toSeq.sortBy { case (ch, n) => (-n, ch) }.head._1
+      }.mkString
+      val sb = new java.lang.StringBuilder(256)
+      sb.append("\\begin{table}\n\\begin{tabular}{").append(spec).append("}\n")
+      var ri = 0
+      t.rows.foreach { row =>
+        val cells = row.map { c =>
+          val content0 = inl(c.inlines, spans = false).trim
+          val content = if (c.header && content0.nonEmpty) "\\bf " + content0 else content0
+          val withRs = if (c.rowspan > 1) s"\\multirow{${c.rowspan}}{*}{$content}" else content
+          if (c.colspan > 1) s"\\multicolumn{${c.colspan}}{${c.align}}{$withRs}" else withRs
+        }
+        sb.append(cells.mkString(" & ")).append(" \\\\")
+        if (ri == 0 && row.forall(_.header)) sb.append("\n\\hline")
+        sb.append('\n')
+        ri += 1
+      }
+      sb.append("\\end{tabular}\n\\end{table}")
+      val cap = inl(t.caption, spans = false).trim
+      if (cap.nonEmpty) sb.append('\n').append(cap)
+      sb.toString
+    }
+
+    def block(b: Block, depth: Int): String = b match {
+      case BPara(is) => inl(is, spans = true).trim
+      case BHeader(l, is) =>
+        val txt = inl(is, spans = false).trim
+        if (txt.isEmpty) "" else ("#" * l.min(6).max(1)) + " " + txt
+      case BQuote(bs) =>
+        bs.map(block(_, depth)).filter(_.nonEmpty)
+          .mkString("\n\n").linesIterator.map(l => if (l.isEmpty) ">" else "> " + l).mkString("\n")
+      case BCode(text) => "```\n" + text + "\n```"
+      case BRule() => "---"
+      case l: BList => list(l, 0)
+      case BDefList(items) =>
+        items.map { case (term, dfn) =>
+          val t = inl(term, spans = false).trim
+          val d = inl(dfn, spans = true).trim
+          if (t.isEmpty) d else s"**$t**: $d"
+        }.filter(_.nonEmpty).mkString("\n")
+      case BFigure(id, cap) =>
+        val c = inl(cap, spans = false).trim
+        val body = if (c.isEmpty) s"Figure ($id)" else s"Figure: $c"
+        marker("figure", id, body)
+      case t: BTable => marker("table", t.id, tableBody(t))
+      case BMathBlock(tex, id) =>
+        val body = TexNormalizer.normalize(tex, inline = false)
+        if (body.isEmpty) "" else marker("math_display", id, body)
+    }
+
+    val parts = blocks.map(block(_, 0)).filter(_.nonEmpty)
+    val fns = footnotes.map { case (id, body) =>
+      marker("footnote", id, s"[^$id]: $body")
+    }
+    val md = (parts ++ fns).mkString("\n\n")
+    Serialized(epilogue(md), bodies.toVector)
+  }
+
+  /** Inline-whitespace collapse (HTML rendering semantics); explicit '\n'
+    * from <br> survives as a line break.
+    */
+  private def collapseWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingNl = false
+    var pendingSp = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n') { pendingNl = true; pendingSp = false }
+      else if (c.isWhitespace) { if (!pendingNl) pendingSp = true }
+      else {
+        if (pendingNl) sb.append('\n') else if (pendingSp) sb.append(' ')
+        pendingNl = false; pendingSp = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    if (pendingNl) sb.append('\n') else if (pendingSp) sb.append(' ')
+    sb.toString
+  }
+
+  /** `**bold**` / `_italic_` with edge-whitespace hoisted outside the
+    * markers (markdown.py:117-128).
+    */
+  private def hoist(inner: String, mark: String): String = {
+    val lead = inner.takeWhile(_.isWhitespace)
+    if (lead.length == inner.length) return inner // all whitespace: no markers
+    val trail = inner.reverse.takeWhile(_.isWhitespace).reverse
+    val core = inner.substring(lead.length, inner.length - trail.length)
+    lead + mark + core + mark + trail
+  }
+
+  /** Document epilogue (markdown.py:367-396): trailing-space strip,
+    * double-space collapse (not at line starts), blank-line squeeze, trim.
+    */
+  def epilogue(md: String): String =
+    md.replaceAll("(?m)[ \t]+$", "")
+      .replaceAll("(?<=\\S) {2,}", " ")
+      .replaceAll("\n{3,}", "\n\n")
+      .trim
+}
+
+/** Splice span bodies back over their markers and compute final offsets.
+  * Must run AFTER postprocessing; markers truncated away by postprocess
+  * simply drop their spans (the reference analog: figures whose pages
+  * were rejected never re-join, split_md_to_pages.py:409-445).
+  */
+object SpanReinserter {
+  import MarkdownSerializer.{SpanBody, Serialized}
+  import graft.core.Span
+
+  private val markerRe = java.util.regex.Pattern.compile("\uE000(\\d+)\uE001")
+
+  def reinsert(s: Serialized): (String, Vector[Span]) = reinsert(s.markdown, s.bodies)
+
+  def reinsert(md: String, bodies: Vector[SpanBody]): (String, Vector[Span]) = {
+    val m = markerRe.matcher(md)
+    val sb = new java.lang.StringBuilder(md.length + 64)
+    val spans = new ArrayBuffer[Span](bodies.length)
+    var last = 0
+    while (m.find()) {
+      sb.append(md, last, m.start)
+      val idx = m.group(1).toInt
+      if (idx < bodies.length) {
+        val b = bodies(idx)
+        val start = sb.length
+        sb.append(b.body)
+        spans += Span(b.kind, b.id, start, sb.length, b.body)
+      }
+      last = m.end
+    }
+    sb.append(md, last, md.length)
+    (sb.toString, spans.toVector)
+  }
+
+  /** Remove any marker bytes without reinsertion (defensive cleanup). */
+  def stripMarkers(md: String): String = markerRe.matcher(md).replaceAll("")
+}

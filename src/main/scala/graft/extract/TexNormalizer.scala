@@ -1,0 +1,88 @@
+package graft.extract
+
+/** TeX canonicalization — re-expression of `normalize_tex`
+  * (/root/reference/nougat/dataset/utils/latex_conversion.py:113-146):
+  * strip math wrappers, drop comments/newlines, canonicalize synonym
+  * commands, remove pure-style commands, re-wrap by display flag.
+  * Pure, deterministic, never throws.
+  */
+object TexNormalizer {
+
+  private val synonyms: List[(String, String)] = List(
+    "\\le" -> "\\leq", "\\ge" -> "\\geq", "\\ne" -> "\\neq",
+    "\\to" -> "\\rightarrow", "\\gets" -> "\\leftarrow",
+    "\\land" -> "\\wedge", "\\lor" -> "\\vee", "\\lnot" -> "\\neg",
+    "\\iff" -> "\\Leftrightarrow", "\\implies" -> "\\Rightarrow",
+    "\\AA" -> "\\angstrom", "\\epsilon" -> "\\varepsilon",
+    "\\Vert" -> "\\|", "\\dag" -> "\\dagger", "\\ddag" -> "\\ddagger"
+  )
+
+  private val styleCommands = List(
+    "\\displaystyle", "\\textstyle", "\\scriptstyle", "\\scriptscriptstyle",
+    "\\limits", "\\nolimits", "\\boldmath", "\\unboldmath", "\\mathstrut")
+
+  /** Strip any single outer math delimiter pair. */
+  def unwrap(tex0: String): String = {
+    val tex = tex0.trim
+    val pairs = List(("\\(", "\\)"), ("\\[", "\\]"), ("$$", "$$"), ("$", "$"))
+    pairs.collectFirst {
+      case (o, c) if tex.length >= o.length + c.length && tex.startsWith(o) && tex.endsWith(c) =>
+        tex.substring(o.length, tex.length - c.length).trim
+    }.getOrElse(tex)
+  }
+
+  def normalize(tex0: String, inline: Boolean): String = {
+    var t = unwrap(tex0)
+    // drop LaTeX comments: unescaped % to end of line
+    t = t.replaceAll("(?<!\\\\)%[^\n]*", "")
+    t = t.replace("\n", " ").replace("\r", " ")
+    styleCommands.foreach { c => t = replaceCommand(t, c, "") }
+    synonyms.foreach { case (from, to) => t = replaceCommand(t, from, to) }
+    t = t.replaceAll(" {2,}", " ").trim
+    if (t.isEmpty) ""
+    else if (inline) "\\(" + t + "\\)"
+    else "\\[" + t + "\\]"
+  }
+
+  /** Replace a TeX command only at non-letter boundaries (so \le does not
+    * hit \left or \leq).
+    */
+  private def replaceCommand(s: String, cmd: String, to: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith(cmd, i) &&
+          (i + cmd.length >= s.length || !s.charAt(i + cmd.length).isLetter)) {
+        sb.append(to)
+        i += cmd.length
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** LaTeX special-char escaping for prose embedded in tabular cells —
+    * `latex_escape` analog (markdown.py:18-36).
+    */
+  def latexEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("\\&")
+      case '%' => sb.append("\\%")
+      case '$' => sb.append("\\$")
+      case '#' => sb.append("\\#")
+      case '_' => sb.append("\\_")
+      case '{' => sb.append("\\{")
+      case '}' => sb.append("\\}")
+      case '~' => sb.append("\\textasciitilde ")
+      case '^' => sb.append("\\textasciicircum ")
+      case '\\' => sb.append("\\textbackslash ")
+      case '<' => sb.append("\\textless ")
+      case '>' => sb.append("\\textgreater ")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,319 @@
+package graft.post
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The nougat postprocessing family re-expressed as pure Scala string
+  * functions (applied per-row inside mapPartitions; the regex-only stages
+  * are also exposed as Catalyst column chains in graft.queries).
+  *
+  * Reference semantics: /root/reference/nougat/postprocessing.py —
+  * `postprocess_single` (332-484) stage order, `truncate_repetitions`
+  * (102-165), repeated-line slice removal (190-298), splice (301-329),
+  * `close_envs` (168-175), `markdown_compatible` (25-67), pathological
+  * table cap (449-457). Where the reference depends on environment
+  * (nltk word list) or randomness, this spec freezes a deterministic
+  * replacement (SURVEY §7.4 #1).
+  */
+object Postprocess {
+
+  // ---- W5: tail-repetition truncation ---------------------------------
+
+  /** Truncate a degenerate repeating tail: if the string ends in ≥2
+    * case-insensitive copies of a ≥`minLen`-char chunk, keep everything
+    * up to (and including) the FIRST copy, then extend the cut forward
+    * to the next sentence boundary found in the kept region's tail.
+    * Rolling-hash candidate search keeps per-row cost ~O(n) at web scale
+    * (reference is O(n²), postprocessing.py:124-133 — SURVEY §7.4 #4);
+    * every hash hit is verified by a direct compare, so collisions can
+    * never change the output.
+    */
+  def truncateRepetitions(s: String, minLen: Int = 30): String = {
+    val n = s.length
+    if (n < 2 * minLen) return s
+    val lower = s.toLowerCase
+    // prefix hashes, base 131 mod 2^61-1
+    val MOD = 2305843009213693951L // 2^61 - 1
+    val BASE = 131L
+    val h = new Array[Long](n + 1)
+    val pw = new Array[Long](n + 1)
+    pw(0) = 1L
+    var i = 0
+    while (i < n) {
+      h(i + 1) = addMod(mulMod(h(i), BASE, MOD), lower.charAt(i).toLong, MOD)
+      pw(i + 1) = mulMod(pw(i), BASE, MOD)
+      i += 1
+    }
+    def sub(a: Int, b: Int): Long = // hash of [a,b)
+      subMod(h(b), mulMod(h(a), pw(b - a), MOD), MOD)
+
+    // ascending scan finds the FUNDAMENTAL repeat period (smallest L);
+    // descending would lock onto a multiple and keep several copies
+    var L = minLen
+    var found = -1
+    val maxL = n / 2
+    while (L <= maxL && found < 0) {
+      if (sub(n - L, n) == sub(n - 2 * L, n - L) &&
+          lower.regionMatches(n - L, lower, n - 2 * L, L)) found = L
+      else L += 1
+    }
+    if (found < 0) return s
+    L = found
+    // walk the period backwards to the first copy
+    var pos = n - L
+    while (pos - L >= 0 && lower.regionMatches(pos - L, lower, pos, L)) pos -= L
+    val keepEnd = pos + L // keep exactly one copy
+    // sentence-boundary extension (postprocessing.py:70-99 analog):
+    // cut at the last sentence end within the kept copy, if any ends
+    // after the copy starts; else keep the full single copy.
+    val tail = s.substring(pos, keepEnd)
+    val lastStop = math.max(tail.lastIndexOf(". "), math.max(tail.lastIndexOf(".\n"),
+      math.max(tail.lastIndexOf("! "), tail.lastIndexOf("? "))))
+    val cut = if (lastStop >= 0) pos + lastStop + 1 else keepEnd
+    s.substring(0, cut).stripTrailing()
+  }
+
+  /** (a*b) mod (2^61-1) via 128-bit fold; requires a,b < 2^61-1. */
+  private def mulMod(a: Long, b: Long, m: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & m) + ((lo >>> 61) | (hi << 3))
+    while (r >= m) r -= m
+    r
+  }
+  private def addMod(a: Long, b: Long, m: Long): Long = { val r = a + b; if (r >= m) r - m else r }
+  private def subMod(a: Long, b: Long, m: Long): Long = { val r = a - b; if (r < 0) r + m else r }
+
+  // ---- W3/W4: repeated-line slice removal ------------------------------
+
+  /** Digit/underscore/bold-marker strip used before line comparison
+    * (`remove_numbers`, postprocessing.py:178-187).
+    */
+  def removeNumbers(line: String): String =
+    line.replaceAll("\\*\\*", "").replaceAll("[0-9_]", "").trim
+
+  /** Similarity of two normalized lines: 1 - lev/maxLen (the reference
+    * uses difflib ratio > 0.9; this spec freezes the Levenshtein form).
+    */
+  def lineSimilarity(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    val m = math.max(a.length, b.length)
+    if (m == 0) return 1.0
+    1.0 - Distance.levenshtein(a, b, maxDist = m).toDouble / m
+  }
+
+  final case class SliceRemoval(text: String, slicesRemoved: Int)
+
+  /** Detect and remove hallucinated repeated-line regions (typically
+    * fabricated reference lists): runs of ≥`minSlice` similar lines
+    * (len 3..200 after digit strip, gaps ≤3), expanded ≤5 lines at each
+    * edge while still similar, plus a leading "References" heading; the
+    * removed region is replaced by a [MISSING_PAGE_POST] paragraph
+    * (postprocessing.py:190-329).
+    */
+  def removeHallucinatedReferences(md: String, minSlice: Int = 15): SliceRemoval = {
+    val lines = md.split("\n", -1)
+    val n = lines.length
+    if (n < minSlice) return SliceRemoval(md, 0)
+    val norm = lines.map(removeNumbers)
+    val usable = norm.map(l => l.length >= 3 && l.length <= 200)
+
+    // mark lines similar to the next usable line
+    val marked = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (usable(i)) {
+        var j = i + 1
+        while (j < n && norm(j).isEmpty) j += 1
+        if (j < n && usable(j) && lineSimilarity(norm(i), norm(j)) > 0.9) {
+          marked(i) = true; marked(j) = true
+        }
+      }
+      i += 1
+    }
+    // group marked lines into slices with gaps <= 3
+    val slices = new ArrayBuffer[(Int, Int)]
+    var start = -1; var last = -1
+    i = 0
+    while (i < n) {
+      if (marked(i)) {
+        if (start < 0) { start = i; last = i }
+        else if (i - last <= 3) last = i
+        else { slices += ((start, last)); start = i; last = i }
+      }
+      i += 1
+    }
+    if (start >= 0) slices += ((start, last))
+
+    val big = slices.filter { case (a, b) => b - a + 1 > minSlice }
+    if (big.isEmpty) return SliceRemoval(md, 0)
+
+    // expand edges ≤5 lines while similar to the slice boundary line
+    val refHead = java.util.regex.Pattern.compile("^#{1,6}\\s*references\\s*$",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    val expanded = big.map { case (a0, b0) =>
+      var a = a0; var b = b0
+      var k = 0
+      while (k < 5 && a - 1 >= 0 && usable(a - 1) &&
+             lineSimilarity(norm(a - 1), norm(a0)) >= 0.9) { a -= 1; k += 1 }
+      k = 0
+      while (k < 5 && b + 1 < n && usable(b + 1) &&
+             lineSimilarity(norm(b + 1), norm(b0)) >= 0.9) { b += 1; k += 1 }
+      // include an immediately-preceding References heading (±2 lines)
+      var p = a - 1
+      var steps = 0
+      while (p >= 0 && steps < 2 && norm(p).isEmpty) { p -= 1; steps += 1 }
+      if (p >= 0 && refHead.matcher(lines(p).trim).matches()) a = p
+      (a, b)
+    }
+    // merge overlaps, remove right-to-left
+    val sorted = expanded.sortBy(_._1)
+    val mergedSlices = new ArrayBuffer[(Int, Int)]
+    sorted.foreach { case (a, b) =>
+      if (mergedSlices.nonEmpty && a <= mergedSlices.last._2 + 1) {
+        val (pa, pb) = mergedSlices.last
+        mergedSlices(mergedSlices.length - 1) = (pa, math.max(pb, b))
+      } else mergedSlices += ((a, b))
+    }
+    val keepLine = new Array[Boolean](n)
+    java.util.Arrays.fill(keepLine, true)
+    mergedSlices.foreach { case (a, b) => (a to b).foreach(keepLine(_) = false) }
+    val sb = new java.lang.StringBuilder(md.length)
+    i = 0
+    var inGap = false
+    while (i < n) {
+      if (keepLine(i)) {
+        if (inGap) { sb.append("\n\n[MISSING_PAGE_POST]\n\n"); inGap = false }
+        sb.append(lines(i))
+        if (i < n - 1) sb.append('\n')
+      } else inGap = true
+      i += 1
+    }
+    if (inGap) sb.append("\n\n[MISSING_PAGE_POST]")
+    SliceRemoval(sb.toString, mergedSlices.length)
+  }
+
+  // ---- X10: environment closing ----------------------------------------
+
+  private val envs = List("bmatrix", "pmatrix", "matrix", "tabular", "table")
+
+  /** Append missing \end{env} for unbalanced environments
+    * (postprocessing.py:168-175).
+    */
+  def closeEnvs(s: String): String = {
+    var out = s
+    envs.foreach { e =>
+      val b = countOccurrences(s, s"\\begin{$e}")
+      val c = countOccurrences(s, s"\\end{$e}")
+      if (b > c) out = out + (s"\n\\end{$e}" * (b - c))
+    }
+    out
+  }
+
+  private def countOccurrences(s: String, needle: String): Int = {
+    var c = 0; var i = s.indexOf(needle)
+    while (i >= 0) { c += 1; i = s.indexOf(needle, i + needle.length) }
+    c
+  }
+
+  // ---- F7: pathological table cap ---------------------------------------
+
+  /** Drop any line with >15 \begin{tabular}, >60 \multicolumn, or >400 '&'
+    * (postprocessing.py:449-457).
+    */
+  def killPathologicalTables(s: String): String =
+    s.linesWithSeparators.filterNot { line =>
+      countOccurrences(line, "\\begin{tabular}") > 15 ||
+      countOccurrences(line, "\\multicolumn") > 60 ||
+      line.count(_ == '&') > 400
+    }.mkString
+
+  // ---- X7: markdown_compatible -------------------------------------------
+
+  /** Equation-tag rewrites, \bm→\mathbf, bare-URL linking
+    * (postprocessing.py:25-67).
+    */
+  def markdownCompatible(s: String): String = {
+    var t = s
+    // "(1.2) \[ ... \]" or "\[ ... \] (1.2)" → "\[ ... \tag{1.2}\]"
+    t = t.replaceAll("(?m)^\\((\\d+(?:\\.\\d+)*)\\)\\s*\\\\\\[(.+?)\\\\\\]\\s*$",
+      "\\\\[$2 \\\\tag{$1}\\\\]")
+    t = t.replaceAll("(?m)^\\\\\\[(.+?)\\\\\\]\\s*\\((\\d+(?:\\.\\d+)*)\\)\\s*$",
+      "\\\\[$1 \\\\tag{$2}\\\\]")
+    t = t.replace("\\bm{", "\\mathbf{")
+    // bare URLs → [url](url); skip urls already inside ]( ) or [ ]
+    t = t.replaceAll("(?<![\\]\\[(])\\b(https?://[^\\s)\\]>\"']+)", "[$1]($1)")
+    t
+  }
+
+  // ---- X14 -----------------------------------------------------------------
+
+  /** Unwrap "pretty" line breaks: '\n' → ' ' unless followed by \n, digit,
+    * '*', '#', or '[' (dataset/utils/utils.py:10-20).
+    */
+  def removePrettyLinebreaks(s: String): String =
+    s.replaceAll("\n(?![\n\\d*#\\[])", " ")
+
+  // ---- X8: the ordered pipeline ---------------------------------------------
+
+  final case class Result(text: String, repetitionTruncated: Boolean, slicesRemoved: Int)
+
+  /** `postprocess_single` stage order (postprocessing.py:332-484), adapted:
+    * oversize-title demotion → numeral-only header removal → repetition
+    * truncation → hallucinated-reference removal → pathological-table cap
+    * → empty-tabular deletion → marker-line cleanup → env closing →
+    * whitespace squeeze → optional markdown_compatible.
+    */
+  def postprocessSingle(md0: String, markdownFix: Boolean = true): Result = {
+    var md = md0
+    // >100-char titles are not titles (postprocessing.py:343-345)
+    md = md.replaceAll("(?m)^#{1,6} {0,3}(.{100,})$", "$1")
+    // itemize artifact (postprocessing.py:347)
+    md = md.replace("[leftmargin=*]\n", "")
+    // numeral-only headers (postprocessing.py:352-356)
+    md = md.replaceAll("(?m)^#{1,6} {0,3}[\\d.]+ *$\n?", "")
+    val truncated = truncateRepetitions(md)
+    val wasTruncated = truncated.length < md.length
+    md = truncated
+    val sliced = removeHallucinatedReferences(md)
+    md = sliced.text
+    md = killPathologicalTables(md)
+    // empty tabular environments (postprocessing.py:458-476)
+    md = md.replaceAll("\\\\begin\\{tabular\\}\\{[^}]*\\}\\s*\\\\end\\{tabular\\}", "")
+    // lone '#' or '.' lines (postprocessing.py:478-481)
+    md = md.replaceAll("(?m)^[#\\s]*#+ *$\n?", "")
+    md = md.replaceAll("(?m)^\\. *$\n?", "")
+    md = closeEnvs(md)
+    md = md.replaceAll("(?m)[ \t]+$", "")
+    md = md.replaceAll("\n{3,}", "\n\n").trim
+    if (markdownFix) md = markdownCompatible(md)
+    Result(md, wasTruncated, sliced.slicesRemoved)
+  }
+}
+
+/** Bounded Levenshtein (X12 substrate) — banded DP: O(n·maxDist). */
+object Distance {
+  def levenshtein(a: String, b: String, maxDist: Int = Int.MaxValue): Int = {
+    if (a == b) return 0
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val n = s.length; val m = t.length
+    if (m - n > maxDist) return maxDist
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    var j = 1
+    while (j <= m) {
+      cur(0) = j
+      var best = cur(0)
+      var i = 1
+      while (i <= n) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        cur(i) = math.min(math.min(cur(i - 1) + 1, prev(i) + 1), prev(i - 1) + cost)
+        if (cur(i) < best) best = cur(i)
+        i += 1
+      }
+      if (best > maxDist) return maxDist
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    math.min(prev(n), maxDist)
+  }
+}

@@ -1,19 +1,116 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.core.{ExtractedDoc, PageRow}
+import graft.extract.Extractor
+import graft.gen.SyntheticCorpus
 
-/** Extraction-engine queries (filled in as the graft.html/extract/post
-  * modules land). Placeholder flagship until the pipeline is wired.
+/** Extraction-engine queries — the north-rule pipeline exposed through
+  * the driver contract.
+  *
+  * `qx_extract_plain` carries a REAL DuckDB oracle: wrapping the
+  * documents table's text in boilerplated HTML and extracting must give
+  * back exactly the (whitespace-normalized) text — an independent-engine
+  * check of the tokenizer → DOM → block-classifier → serializer chain.
+  * The richer queries exercise the full surface (math/table/figure/
+  * footnote spans, repetition postprocess) and are covered by the
+  * byte-golden ScalaTest suite instead of SQL.
   */
 object ExtractQueries {
 
-  val qxExtract = QueryDef(
-    "qx_extract_markdown",
-    (s, dir) =>
+  /** Synthetic corpus sizing per test-data scale factor. */
+  def corpusSize(dir: String): Long =
+    if (dir.contains("sf0.1")) 30000L
+    else if (dir.contains("sf0.01")) 3000L
+    else 300L
+
+  /** Deterministic boilerplated wrap of a plain text (no markup chars in
+    * the documents corpus, so extraction must return the text verbatim).
+    */
+  def wrapHtml(text: String): String =
+    "<html><head><title>t</title><script>var a=1;</script></head><body>" +
+      "<nav class=\"navbar\"><a href=\"/home\">home</a> <a href=\"/about\">about</a> <a href=\"/x\">more</a></nav>" +
+      "<div class=\"cookie-banner\">We use cookies. <a href=\"/ok\">Accept</a></div>" +
+      "<article><p>" + text + "</p></article>" +
+      "<footer><p>Copyright 2024. All rights reserved.</p></footer>" +
+      "</body></html>"
+
+  val qxExtractPlain = QueryDef(
+    "qx_extract_plain",
+    (s, dir) => {
+      import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("lang"), length(col("text")).as("n")),
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Extractor.extractHtml(id.toString, wrapHtml(text)).markdown)
+        })
+        .toDF("doc_id", "markdown")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, regexp_replace(trim(text), ' {2,}', ' ', 'g') AS markdown
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Full pipeline over the synthetic Common-Crawl-style corpus
+    * (BASELINE.json input_hint shape), aggregated per page family.
+    */
+  val qxExtractCorpus = QueryDef(
+    "qx_extract_corpus",
+    (s, dir) => {
+      import s.implicits._
+      SyntheticCorpus.generate(s, corpusSize(dir))
+        .mapPartitions(Extractor.run(_))
+        .withColumn("family", split(col("url"), "/").getItem(3))
+        .groupBy("family")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("ok"), 1).otherwise(0)).as("n_ok"),
+          sum(col("blocks_kept")).as("blocks_kept"),
+          sum(col("blocks_dropped")).as("blocks_dropped"),
+          sum(size(col("spans"))).as("n_spans"),
+          sum(length(col("markdown"))).as("md_chars")
+        )
+        .orderBy("family")
+    },
     None
   )
 
-  val all: Seq[QueryDef] = Seq(qxExtract)
+  /** Span detail stream: every span with offsets (north-rule unit). */
+  val qxExtractSpans = QueryDef(
+    "qx_extract_spans",
+    (s, dir) => {
+      import s.implicits._
+      SyntheticCorpus.generate(s, corpusSize(dir))
+        .mapPartitions(Extractor.run(_))
+        .filter(col("ok"))
+        .select(col("url"), explode(col("spans")).as("sp"))
+        .select(col("url"), col("sp.kind").as("kind"), col("sp.id").as("id"),
+                col("sp.start").as("start"), col("sp.end").as("end"))
+        .orderBy("url", "start")
+    },
+    None
+  )
+
+  /** Per-document markdown fingerprints over the synthetic corpus — the
+    * determinism witness (same values at any parallelism).
+    */
+  val qxExtractHashes = QueryDef(
+    "qx_extract_hashes",
+    (s, dir) => {
+      import s.implicits._
+      SyntheticCorpus.generate(s, corpusSize(dir))
+        .mapPartitions(Extractor.run(_))
+        .select(col("url"), col("ok"), md5(to_binary(col("markdown"), lit("utf-8"))).as("md_hash"),
+                length(col("markdown")).as("md_len"))
+        .orderBy("url")
+    },
+    None
+  )
+
+  val qxExtract = qxExtractCorpus
+
+  val all: Seq[QueryDef] = Seq(qxExtractPlain, qxExtractCorpus, qxExtractSpans, qxExtractHashes)
 }

@@ -1,0 +1,207 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.post.Postprocess
+
+class ExtractorSpec extends AnyFunSuite {
+
+  private def md(html: String): String = Extractor.extractHtml("u", html).markdown
+  private def doc(html: String) = Extractor.extractHtml("u", html)
+
+  test("plain family: headers, paragraphs, bold/italic, nbsp") {
+    val h =
+      """<html><body>
+        |<h1>The Title</h1>
+        |<p>First paragraph with <b>bold</b> and <i>italic&nbsp;words</i>.</p>
+        |<h2>Section A</h2>
+        |<p>Second paragraph, long enough to keep. It has sentences.</p>
+        |</body></html>""".stripMargin
+    assert(md(h) ==
+      """# The Title
+        |
+        |First paragraph with **bold** and _italic words_.
+        |
+        |## Section A
+        |
+        |Second paragraph, long enough to keep. It has sentences.""".stripMargin)
+  }
+
+  test("bold whitespace hoisting") {
+    assert(md("<p>a <b> x y </b> b etc.</p>") == "a **x y** b etc.")
+  }
+
+  test("boiler family: nav/footer/cookie banners stripped, article kept") {
+    val h =
+      """<body>
+        |<nav><a href="/">Home</a> <a href="/x">X</a></nav>
+        |<div class="cookie-banner">We use cookies. Accept?</div>
+        |<header><h1>Real Title</h1><div><a href="/l">login</a></div></header>
+        |<article><p>The actual article content, which is long enough to keep easily.</p></article>
+        |<div id="sidebar"><ul><li><a href="/a">A</a></li><li><a href="/b">B</a></li></ul></div>
+        |<footer>Copyright 2026. All rights reserved.</footer>
+        |</body>""".stripMargin
+    val d = doc(h)
+    assert(d.markdown ==
+      """# Real Title
+        |
+        |The actual article content, which is long enough to keep easily.""".stripMargin)
+    assert(d.blocks_dropped >= 3)
+    assert(d.blocks_kept == 2)
+  }
+
+  test("link-density paragraph dropped") {
+    val h = "<body><p><a href='/1'>one</a> <a href='/2'>two</a> <a href='/3'>three</a></p>" +
+      "<p>Normal content sentence here, with enough words.</p></body>"
+    assert(md(h) == "Normal content sentence here, with enough words.")
+  }
+
+  test("math family: inline and display spans with deterministic ids") {
+    val h = "<body><p>Euler: <math alttext=\"e^{i\\pi}+1=0\"></math> holds.</p>" +
+      "<p>Then:</p><math display=\"block\" alttext=\"\\int_0^1 x dx = 1/2\"></math></body>"
+    val d = doc(h)
+    assert(d.markdown ==
+      "Euler: \\(e^{i\\pi}+1=0\\) holds.\n\nThen:\n\n\\[\\int_0^1 x dx = 1/2\\]")
+    assert(d.spans.map(s => (s.kind, s.id)) ==
+      Vector(("math_inline", "eq-1"), ("math_display", "eq-2")))
+    val s0 = d.spans(0)
+    assert(d.markdown.substring(s0.start, s0.end) == s0.body)
+    assert(s0.body == "\\(e^{i\\pi}+1=0\\)")
+  }
+
+  test("tex normalization: synonyms and style commands") {
+    assert(TexNormalizer.normalize("\\( a \\le b \\displaystyle c \\)", inline = true) ==
+      "\\(a \\leq b c\\)")
+    assert(TexNormalizer.normalize("x \\leq y % comment", inline = false) == "\\[x \\leq y\\]")
+  }
+
+  test("table family: tabular serialization with colspan and header row") {
+    val h =
+      """<body><table id="t1"><caption>Results</caption>
+        |<tr><th>Name</th><th align="right">Score</th></tr>
+        |<tr><td>alpha</td><td align="right">1</td></tr>
+        |<tr><td colspan="2">total row</td></tr>
+        |</table></body>""".stripMargin
+    val d = doc(h)
+    assert(d.spans.length == 1)
+    val sp = d.spans(0)
+    assert(sp.kind == "table" && sp.id == "t1")
+    assert(d.markdown.substring(sp.start, sp.end) == sp.body)
+    assert(sp.body ==
+      """\begin{table}
+        |\begin{tabular}{lr}
+        |\bf Name & \bf Score \\
+        |\hline
+        |alpha & 1 \\
+        |\multicolumn{2}{l}{total row} \\
+        |\end{tabular}
+        |\end{table}
+        |Results""".stripMargin)
+  }
+
+  test("lists family: nesting, ordering, definition lists") {
+    val h =
+      """<body><ul><li>one</li><li>two<ol><li>sub a</li><li>sub b</li></ol></li></ul>
+        |<dl><dt>Term</dt><dd>its definition</dd></dl></body>""".stripMargin
+    assert(md(h) ==
+      """* one
+        |* two
+        |  1. sub a
+        |  2. sub b
+        |
+        |**Term**: its definition""".stripMargin)
+  }
+
+  test("footnote family: hoisted with marker and span") {
+    val h = "<body><p>Claim<span class=\"footnote\" id=\"fnA\">the proof</span> stands here.</p></body>"
+    val d = doc(h)
+    assert(d.markdown == "Claim[^fnA] stands here.\n\n[^fnA]: the proof")
+    assert(d.spans.map(_.kind) == Vector("footnote"))
+    val sp = d.spans(0)
+    assert(d.markdown.substring(sp.start, sp.end) == "[^fnA]: the proof")
+  }
+
+  test("empty family: garbage input never fails the row") {
+    val d1 = Extractor.extract("u", Array[Byte]())
+    assert(!d1.ok && d1.error == "empty-input")
+    val d2 = Extractor.extract("u", Array[Byte](0x00, 0x01, -5, -120))
+    assert(d2.ok && d2.markdown == "")
+    val d3 = doc("   \n\t  ")
+    assert(d3.ok && d3.markdown == "")
+  }
+
+  test("empty-section pruning: header with no content dropped") {
+    val h = "<body><h2>Empty section</h2><h2>Full section</h2><p>Content paragraph, present.</p></body>"
+    assert(md(h) == "## Full section\n\nContent paragraph, present.")
+  }
+
+  test("repeat family: tail repetition truncated") {
+    val base = "A normal opening paragraph that stays. "
+    val rep = "This sentence repeats itself endlessly in the tail. "
+    val s = base + rep * 8
+    val out = Postprocess.truncateRepetitions(s.trim)
+    assert(out == (base + rep).trim)
+  }
+
+  test("truncateRepetitions: no repetition → unchanged") {
+    val s = "Completely ordinary text with no repeating tail whatsoever, just prose."
+    assert(Postprocess.truncateRepetitions(s) == s)
+  }
+
+  test("hallucinated reference slice removed with MISSING_PAGE_POST splice") {
+    val heads = Vector(
+      "An ordinary opening paragraph about methodology and data collection.",
+      "Results indicate a strong correlation between the variables studied.",
+      "The experimental setup used a different apparatus than prior work.",
+      "Limitations include sample size and the observational design chosen.",
+      "Real paragraph number 5 concludes with directions for future work.")
+    val head = heads.mkString("\n")
+    val refs = (1 to 25).map(i => s"* [$i] Author $i, Some Repeated Paper Title, 20$i.").mkString("\n")
+    val out = Postprocess.removeHallucinatedReferences(head + "\n## References\n" + refs)
+    assert(out.slicesRemoved == 1)
+    assert(out.text.contains("[MISSING_PAGE_POST]"))
+    assert(!out.text.contains("Repeated Paper Title"))
+    assert(out.text.contains("Real paragraph number 5"))
+  }
+
+  test("closeEnvs balances environments") {
+    val s = "\\begin{tabular}{ll}\na & b \\\\"
+    assert(Postprocess.closeEnvs(s).endsWith("\\end{tabular}"))
+    val ok = "\\begin{tabular}{ll}\n\\end{tabular}"
+    assert(Postprocess.closeEnvs(ok) == ok)
+  }
+
+  test("markdownCompatible: eq tags, bm, bare urls") {
+    assert(Postprocess.markdownCompatible("\\[E=mc^2\\] (3.1)") == "\\[E=mc^2 \\tag{3.1}\\]")
+    assert(Postprocess.markdownCompatible("(2) \\[x\\]") == "\\[x \\tag{2}\\]")
+    assert(Postprocess.markdownCompatible("\\bm{v}") == "\\mathbf{v}")
+    assert(Postprocess.markdownCompatible("see https://a.io/x now") ==
+      "see [https://a.io/x](https://a.io/x) now")
+    assert(Postprocess.markdownCompatible("[t](https://a.io/x)") == "[t](https://a.io/x)")
+  }
+
+  test("pathological table line killed") {
+    val bad = "x " + "& " * 500 + "\n"
+    val good = "normal line\n"
+    assert(Postprocess.killPathologicalTables(bad + good) == good)
+  }
+
+  test("determinism: same input → byte-identical output, 3 runs") {
+    val h = "<body><h1>T</h1><p>Para with <b>bold</b>, x<sup>2</sup> and a <a href='https://e.io'>link</a>.</p>" +
+      "<math alttext='a \\le b'></math></body>"
+    val outs = (1 to 3).map(_ => doc(h))
+    assert(outs.map(_.markdown).distinct.length == 1)
+    assert(outs.map(_.spans).distinct.length == 1)
+  }
+
+  test("span offsets always index into final markdown (invariant)") {
+    val h =
+      """<body><p>P1 <math alttext="x+1"></math> mid.</p><table id="z"><tr><td>c</td></tr></table>
+        |<p>tail paragraph, long enough to keep around.</p></body>""".stripMargin
+    val d = doc(h)
+    assert(d.spans.nonEmpty)
+    d.spans.foreach { s =>
+      assert(s.start >= 0 && s.end <= d.markdown.length && s.start < s.end)
+      assert(d.markdown.substring(s.start, s.end) == s.body)
+    }
+  }
+}
