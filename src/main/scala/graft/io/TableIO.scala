@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Iceberg-shaped table layer over partitioned Parquet (SURVEY §7.0: no
+  * Iceberg jars in the container, so we emulate the two properties the
+  * pipeline depends on — atomic batch append and url-bucket layout —
+  * behind a small API that swaps to real Iceberg when available).
+  *
+  * Layout:
+  *   <root>/data/batch=<id>/bucket=<b>/part-*.parquet   committed data
+  *   <root>/metrics/batch=<id>/part-*.parquet           per-partition lineage
+  *   <root>/.staging/<id>/                              uncommitted writes
+  *
+  * The commit is a directory rename (atomic on a POSIX fs; Iceberg's
+  * manifest swap plays this role on object stores). A batch is visible
+  * iff the rename completed, so readers never observe partial output and
+  * a crashed run leaves only .staging garbage that the next run clears —
+  * the checkpoint-resume contract of the north rule (reference analog:
+  * skip-if-computed, predict.py:137-143).
+  */
+object TableIO {
+
+  def dataPath(root: String) = s"$root/data"
+  def metricsPath(root: String) = s"$root/metrics"
+
+  def nextBatchId(root: String): String = {
+    val d = Paths.get(dataPath(root))
+    val existing =
+      if (!Files.isDirectory(d)) 0
+      else {
+        val s = Files.list(d)
+        try s.filter(p => p.getFileName.toString.startsWith("batch=")).count().toInt
+        finally s.close()
+      }
+    f"b${existing + 1}%05d"
+  }
+
+  def clearStaging(root: String): Unit = {
+    val st = Paths.get(s"$root/.staging")
+    if (Files.isDirectory(st)) deleteRecursively(st)
+  }
+
+  def stagingDir(root: String, batchId: String): String = s"$root/.staging/$batchId"
+
+  /** Atomic publish: .staging/<id> → data/batch=<id>. */
+  def commitBatch(root: String, batchId: String): Unit = {
+    val from = Paths.get(stagingDir(root, batchId))
+    val to = Paths.get(s"${dataPath(root)}/batch=$batchId")
+    Files.createDirectories(to.getParent)
+    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readData(spark: SparkSession, root: String): Option[DataFrame] = {
+    val d = Paths.get(dataPath(root))
+    if (!Files.isDirectory(d)) None
+    else {
+      val s = Files.list(d)
+      val has = try s.anyMatch(p => p.getFileName.toString.startsWith("batch=")) finally s.close()
+      if (!has) None else Some(spark.read.parquet(dataPath(root)))
+    }
+  }
+
+  def appendMetrics(df: DataFrame, root: String, batchId: String): Unit =
+    df.write.mode("overwrite").parquet(s"${metricsPath(root)}/batch=$batchId")
+
+  def readMetrics(spark: SparkSession, root: String): Option[DataFrame] = {
+    val d = Paths.get(metricsPath(root))
+    if (Files.isDirectory(d)) Some(spark.read.parquet(metricsPath(root))) else None
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively(_)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}
