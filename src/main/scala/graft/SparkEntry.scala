@@ -13,7 +13,8 @@ object SparkEntry {
   import graft.queries._
 
   private lazy val defs: Seq[QueryDef] =
-    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++ ExtractQueries.all
+    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
+      MultiModal.all ++ ExtractQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full HTML → markdown extraction over synthesized pages.

@@ -1,5 +1,195 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), MinHash signatures + LSH band buckets, SimHash, and
+  * blocked n-gram Jaccard. All hashing is engine-agnostic arithmetic
+  * (TextOps.wordFeature + polynomial mixes) so every stage has a
+  * bit-exact DuckDB oracle — including the candidate-pair generation.
+  *
+  * Scale notes: exact dedup is one shuffle on the content hash; MinHash/
+  * SimHash signatures are narrow map-only projections; LSH buckets
+  * shuffle on (band, key) — the standard shingle→minhash→band→bucket-join
+  * plan; Jaccard verification is blocked on (lang, n_chars) to keep the
+  * candidate join bounded.
+  */
 object Dedup {
-  val all: Seq[QueryDef] = Seq()
+
+  import TextOps.{tokens, wordFeature}
+
+  private val P = 1048573L // < 2^20, keeps band keys in 2^40
+  private val A = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private val B = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+
+  private val fwSql = "(length({w}) * 31 + ascii(substring({w}, 1, 1)))"
+  private def fw(w: String) = fwSql.replace("{w}", w)
+
+  /** documents ∪ (documents shifted by 10000) — a corpus with one exact
+    * duplicate per doc, so dedup queries have real work to do.
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private val dupCorpusSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents"
+
+  /** Exact dedup: content-hash groupBy keeping the smallest doc_id. */
+  val q18ExactDedup = QueryDef(
+    "q18_exact_dedup",
+    (s, dir) =>
+      dupCorpus(s, dir)
+        .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .orderBy("keeper"),
+    Some(s"""
+      WITH dup AS ($dupCorpusSql)
+      SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+      FROM dup GROUP BY 1 ORDER BY keeper
+    """.trim)
+  )
+
+  /** Token-trigram shingles hashed with a polynomial mix (pure column
+    * expression; guarded so <3-token docs yield no shingles).
+    */
+  private def shingles(textCol: Column): Column = {
+    val t = tokens(textCol)
+    def f(i: Column) = wordFeature(element_at(t, i))
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => pmod((f(i) * 1009L + f(i + 1)) * 1009L + f(i + 2), lit(P)))
+    ).otherwise(array())
+  }
+  private def shinglesSql(tk: String): String =
+    s"list_transform(generate_series(1, len($tk) - 2), i -> " +
+      s"CAST(((${fw(s"$tk[i]")} * 1009 + ${fw(s"$tk[i+1]")}) * 1009 + ${fw(s"$tk[i+2]")}) % $P AS BIGINT))"
+
+  private def minhashCols(sh: Column): Seq[Column] =
+    A.zip(B).zipWithIndex.map { case ((a, b), k) =>
+      array_min(transform(sh, h => pmod(h * a + b, lit(P)))).as(s"mh$k")
+    }
+  private def minhashSqlCols(sh: String): String =
+    A.zip(B).zipWithIndex.map { case ((a, b), k) =>
+      s"list_min(list_transform($sh, h -> ($a * h + $b) % $P)) AS mh$k"
+    }.mkString(",\n             ")
+
+  /** MinHash signatures (k=8) per document. */
+  val q19MinhashSig = QueryDef(
+    "q19_minhash_sig",
+    (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id") +: minhashCols(col("sh")): _*)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      s AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM t WHERE len(tk) >= 3)
+      SELECT doc_id,
+             ${minhashSqlCols("sh")}
+      FROM s WHERE len(sh) > 0 ORDER BY doc_id
+    """.trim)
+  )
+
+  /** LSH: 4 bands × 2 rows over the 8 minhashes on the duplicated corpus;
+    * collided buckets (n_docs > 1) are the near-dup candidate groups.
+    */
+  val q20LshBuckets = QueryDef(
+    "q20_lsh_buckets",
+    (s, dir) => {
+      val sig = dupCorpus(s, dir)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id") +: minhashCols(col("sh")): _*)
+      val bands = (0 until 4).map { b =>
+        sig.select(lit(b).as("band"),
+          (col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")).as("bkey"),
+          col("doc_id"))
+      }.reduce(_ unionAll _)
+      bands.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("band", "bkey")
+    },
+    Some(s"""
+      WITH dup AS ($dupCorpusSql),
+      t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM dup),
+      s AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM t WHERE len(tk) >= 3),
+      sig AS (SELECT doc_id,
+             ${minhashSqlCols("sh")}
+      FROM s WHERE len(sh) > 0),
+      bands AS (
+        SELECT 0 AS band, mh0 * $P + mh1 AS bkey, doc_id FROM sig UNION ALL
+        SELECT 1, mh2 * $P + mh3, doc_id FROM sig UNION ALL
+        SELECT 2, mh4 * $P + mh5, doc_id FROM sig UNION ALL
+        SELECT 3, mh6 * $P + mh7, doc_id FROM sig)
+      SELECT band, bkey, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM bands GROUP BY band, bkey HAVING count(*) > 1 ORDER BY band, bkey
+    """.trim)
+  )
+
+  /** 16-bit SimHash: per-bit signed votes over word features. */
+  val q21Simhash = QueryDef(
+    "q21_simhash",
+    (s, dir) => {
+      val w = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), wordFeature(col("w")).as("f"))
+        .select(col("doc_id"), col("f"), explode(sequence(lit(0), lit(15))).as("i"))
+      val p2 = pow(lit(2.0), col("i")).cast("long")
+      val bit = pmod(floor(col("f").cast("double") / p2).cast("long"), lit(2L))
+      w.groupBy("doc_id", "i")
+        .agg(sum(when(bit === 1, 1).otherwise(-1)).as("s"), first(p2).as("p2"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, col("p2")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, ${fw("u.w")} AS f
+                 FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)),
+      b AS (SELECT doc_id, i, sum(CASE WHEN (f // (1 << i)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+            FROM w, generate_series(0, 15) g(i) GROUP BY doc_id, i)
+      SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+      FROM b GROUP BY doc_id ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Blocked token-set Jaccard: candidate pairs share (lang, n_chars);
+    * emits exact integer intersection/union plus a permille score.
+    */
+  val q22JaccardPairs = QueryDef(
+    "q22_jaccard_pairs",
+    (s, dir) => {
+      val t = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+                array_distinct(tokens(col("text"))).as("tk"))
+      val a = t.select(col("doc_id").as("id1"), col("lang"), col("n_chars"), col("tk").as("tk1"))
+      val b = t.select(col("doc_id").as("id2"), col("lang"), col("n_chars"), col("tk").as("tk2"))
+      a.join(b, Seq("lang", "n_chars"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("tk1"), col("tk2"))).as("inter"),
+          (size(col("tk1")) + size(col("tk2")) - size(array_intersect(col("tk1"), col("tk2")))).as("uni"))
+        .withColumn("jmilli", floor(col("inter") * 1000 / col("uni")).cast("long"))
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, lang, n_chars,
+                        list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+                 FROM documents),
+      p AS (SELECT t1.doc_id AS id1, t2.doc_id AS id2,
+                   len(list_filter(t1.tk, x -> list_contains(t2.tk, x))) AS inter,
+                   len(t1.tk) AS n1, len(t2.tk) AS n2
+            FROM t t1 JOIN t t2 ON t1.lang = t2.lang AND t1.n_chars = t2.n_chars
+                      AND t1.doc_id < t2.doc_id)
+      SELECT id1, id2, CAST(inter AS INT) AS inter, CAST(n1 + n2 - inter AS INT) AS uni,
+             CAST((1000 * inter) // (n1 + n2 - inter) AS BIGINT) AS jmilli
+      FROM p ORDER BY id1, id2
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q18ExactDedup, q19MinhashSig, q20LshBuckets, q21Simhash, q22JaccardPairs)
 }

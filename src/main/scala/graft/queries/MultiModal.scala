@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque BINARY
+  * columns with typed metadata; decode/feature-extract runs batched in
+  * mapPartitions. The actual codec is a clearly-marked deterministic
+  * STUB (no image/audio libraries in this container) — the Spark-side
+  * contract (schema, batching, partitioning, failure isolation) is real
+  * and tested.
+  */
+object MultiModal {
+
+  /** Fake media blob: 12-byte header (magic "GM", version, width, height,
+    * frames) + payload bytes. Deterministic from the text payload.
+    */
+  def fakeMediaBlob(docId: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+    bb.put('G'.toByte).put('M'.toByte)
+    bb.putShort(1.toShort)
+    bb.putShort((64 + (docId % 512)).toShort)  // width
+    bb.putShort((48 + (docId * 7 % 432)).toShort) // height
+    bb.putInt((1 + docId % 30).toInt)          // frame count
+    bb.put(payload)
+    bb.array()
+  }
+
+  final case class MediaMeta(doc_id: Long, width: Int, height: Int, frames: Int,
+                             bytes: Int, feature: Array[Float], decode_ok: Boolean)
+
+  /** STUB decoder: parses the header and emits a deterministic 8-dim
+    * "feature" from byte statistics. A real deployment swaps the body
+    * for an actual codec; the signature and batch shape stay.
+    */
+  def decodeStub(docId: Long, blob: Array[Byte]): MediaMeta = {
+    if (blob == null || blob.length < 12 || blob(0) != 'G'.toByte || blob(1) != 'M'.toByte)
+      return MediaMeta(docId, 0, 0, 0, if (blob == null) 0 else blob.length,
+        Array.fill(8)(0f), decode_ok = false)
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    bb.getShort() // skip magic
+    bb.getShort() // version
+    val w = bb.getShort().toInt
+    val h = bb.getShort().toInt
+    val f = bb.getInt()
+    // ??? real pixel decode goes here; deterministic fake features instead:
+    val feat = new Array[Float](8)
+    var i = 12
+    while (i < blob.length) {
+      feat((i - 12) % 8) += (blob(i) & 0xff) / 255.0f
+      i += 1
+    }
+    MediaMeta(docId, w, h, f, blob.length, feat, decode_ok = true)
+  }
+
+  /** Binary metadata projection with a DuckDB oracle: byte length and
+    * content hash of the BINARY column plus arithmetic "header" fields.
+    */
+  val q26BinaryMeta = QueryDef(
+    "q26_binary_meta",
+    (s, dir) => {
+      val b = to_binary(col("text"), lit("utf-8"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          octet_length(b).as("n_bytes"),
+          md5(b).as("content_md5"),
+          (pmod(col("doc_id"), lit(512)) + 64).as("width"),
+          (pmod(col("doc_id") * 7, lit(432)) + 48).as("height"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             md5(text) AS content_md5,
+             (doc_id % 512) + 64 AS width,
+             ((doc_id * 7) % 432) + 48 AS height
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Full binary round-trip through the stub codec in mapPartitions
+    * (rows-only check; invariants covered by MultiModalSpec).
+    */
+  val qxMediaFeatures = QueryDef(
+    "qx_media_features",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          decodeStub(id, fakeMediaBlob(id, text))
+        })
+        .select(col("doc_id"), col("width"), col("height"), col("frames"),
+          col("bytes"), col("decode_ok"),
+          round(aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+        .orderBy("doc_id")
+    },
+    None
+  )
+
+  val all: Seq[QueryDef] = Seq(q26BinaryMeta, qxMediaFeatures)
+}

@@ -1,5 +1,181 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: token
+  * counting, quality scoring, language-ID (stopword heuristic), document
+  * fingerprinting, and the whitespace-normalization regex chain — all as
+  * codegen-friendly Catalyst column expressions (no UDFs), each with a
+  * bit-exact DuckDB oracle.
+  */
 object TextOps {
-  val all: Seq[QueryDef] = Seq()
+
+  /** Whitespace tokens of trimmed text (no empties by construction). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Deterministic per-word feature: 31*len + code of first char —
+    * shared by fingerprint / minhash / simhash so the oracle can
+    * replicate it arithmetically (no engine-specific hash functions).
+    */
+  def wordFeature(w: Column): Column =
+    (length(w) * lit(31) + ascii(substring(w, 1, 1))).cast("long")
+
+  private val fwSql = "(length({w}) * 31 + ascii(substring({w}, 1, 1)))"
+  private def fw(w: String) = fwSql.replace("{w}", w)
+
+  val q13TokenStats = QueryDef(
+    "q13_token_stats",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          size(filter(t, w => length(w) > 3)).as("n_long"),
+          length(regexp_replace(col("text"), "\\s", "")).as("n_chars_ns"),
+          (length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(t)).as("mean_wlen")
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> length(w) > 3)) AS INT) AS n_long,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_chars_ns,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS mean_wlen
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
+  private val stopEn = Seq("the", "a", "of", "and")
+
+  val q14QualityScore = QueryDef(
+    "q14_quality_score",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val nStop = size(filter(t, w => w.isin(stopEn: _*)))
+      val meanW = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          nStop.as("n_stop"),
+          round(lit(0.5) * (nStop.cast("double") / nTok) +
+                lit(0.5) * least(meanW / lit(10.0), lit(1.0)), 6).as("quality")
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('the','a','of','and'))) AS INT) AS n_stop,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS chars_ns
+        FROM documents)
+      SELECT doc_id, n_tokens, n_stop,
+             round(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens) +
+                   0.5 * least(chars_ns / n_tokens / 10.0, 1.0), 6) AS quality
+      FROM t ORDER BY doc_id
+    """.trim)
+  )
+
+  /** n-gram/stopword language ID: votes per language stopword set,
+    * deterministic tie-break en > de > es > fr.
+    */
+  val q15LangId = QueryDef(
+    "q15_langid",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      def votes(ws: Seq[String]) = size(filter(t, w => w.isin(ws: _*)))
+      val en = votes(Seq("the", "a", "of", "and"))
+      val de = votes(Seq("der", "das", "und", "ein"))
+      val es = votes(Seq("el", "los", "una", "y"))
+      val fr = votes(Seq("le", "les", "et", "dans"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), en.as("v_en"), de.as("v_de"), es.as("v_es"), fr.as("v_fr"))
+        .withColumn("pred_lang",
+          when(col("v_en") >= col("v_de") && col("v_en") >= col("v_es") && col("v_en") >= col("v_fr"), "en")
+            .when(col("v_de") >= col("v_es") && col("v_de") >= col("v_fr"), "de")
+            .when(col("v_es") >= col("v_fr"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(regexp_split_to_array(trim(text),'\s+'), w -> w IN ('the','a','of','and'))) AS INT) AS v_en,
+          CAST(len(list_filter(regexp_split_to_array(trim(text),'\s+'), w -> w IN ('der','das','und','ein'))) AS INT) AS v_de,
+          CAST(len(list_filter(regexp_split_to_array(trim(text),'\s+'), w -> w IN ('el','los','una','y'))) AS INT) AS v_es,
+          CAST(len(list_filter(regexp_split_to_array(trim(text),'\s+'), w -> w IN ('le','les','et','dans'))) AS INT) AS v_fr
+        FROM documents)
+      SELECT doc_id, lang, v_en, v_de, v_es, v_fr,
+             CASE WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
+                  WHEN v_de >= v_es AND v_de >= v_fr THEN 'de'
+                  WHEN v_es >= v_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM v ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Rolling position-weighted fingerprint (document fingerprint /
+    * rolling-hash family): sum over tokens of position × wordFeature,
+    * mod 1e9+7 — order-sensitive, engine-agnostic arithmetic.
+    */
+  val q16Fingerprint = QueryDef(
+    "q16_fingerprint",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      val terms = transform(t, (w, i) => (i.cast("long") + 1L) * wordFeature(w))
+      val fp = pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                  (w, i) -> i * ${fw("w")})) AS BIGINT) % 1000000007 AS BIGINT) AS fingerprint
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
+  /** The whitespace-normalization regex chain from the markdown epilogue
+    * (markdown.py:367-396 / postprocessing squeeze) proven against an
+    * independent regex engine: inject blank-line noise, then normalize.
+    */
+  val q17WsNormalize = QueryDef(
+    "q17_ws_normalize",
+    (s, dir) => {
+      val noisy = regexp_replace(col("text"), " (the|a) ", "  \n\n\n\n$1 ")
+      val norm = regexp_replace(
+        regexp_replace(
+          regexp_replace(noisy, "[ \t]+\n", "\n"),
+          "\n{3,}", "\n\n"),
+        " {2,}", " ")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), length(norm).as("norm_len"),
+                md5(to_binary(norm, lit("utf-8"))).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH n AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, ' (the|a) ', '  ' || chr(10) || chr(10) || chr(10) || chr(10) || '\1 ', 'g'),
+                     '[ \t]+\n', chr(10), 'g'),
+                   '\n{3,}', chr(10) || chr(10), 'g'),
+                 ' {2,}', ' ', 'g') AS norm
+        FROM documents)
+      SELECT doc_id, CAST(length(norm) AS INT) AS norm_len, md5(norm) AS norm_md5
+      FROM n ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q13TokenStats, q14QualityScore, q15LangId, q16Fingerprint, q17WsNormalize)
 }
