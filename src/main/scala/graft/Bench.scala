@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: times every registered query on SPARK_GRAFT_SF_DIR
+  * and the headline extraction throughput, printing ONE JSON line.
+  *
+  * `value` = total seconds across all queries (the driver's headline);
+  * extra keys report the north metric (extraction docs/sec) and corpus
+  * size so rounds are comparable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // warm the JVM/codegen once on the smallest sf (excluded from timing)
+    try SparkEntry.queries("q01_pricing_agg")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: extraction throughput over the synthetic pages corpus
+    val nPages = graft.queries.ExtractQueries.corpusSize(sfDir)
+    val t0 = System.nanoTime()
+    import spark.implicits._
+    val nOk = graft.gen.SyntheticCorpus.generate(spark, nPages)
+      .mapPartitions(graft.extract.Extractor.run(_))
+      .filter(_.ok).count()
+    val extractSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nPages / extractSec
+
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""extract_docs_per_sec":$docsPerSec%.1f,"extract_pages":$nPages,"extract_ok":$nOk,"cores":$cpus}""")
     spark.stop()
   }
 }

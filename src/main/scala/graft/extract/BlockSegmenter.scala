@@ -251,9 +251,9 @@ object BlockSegmenter {
   private def mathTex(e: DomElem): Option[String] =
     e.attr("alttext").orElse(e.attr("aria-label")).map(_.trim).filter(_.nonEmpty)
 
-  def inlines(nodes: Vector[DomNode], ids: IdGen): Vector[Inline] = {
+  def inlines(nodes: Seq[DomNode], ids: IdGen): Vector[Inline] = {
     val out = new ArrayBuffer[Inline](8)
-    def rec(ns: Vector[DomNode]): Unit = ns.foreach {
+    def rec(ns: Seq[DomNode]): Unit = ns.foreach {
       case DomText(t) => out += ITxt(t)
       case e: DomElem => e.tag match {
         case "br" => out += ITxt("\n")
@@ -312,17 +312,22 @@ object BlockSegmenter {
 
   // ---- classification ----------------------------------------------------
 
-  def inlineText(inl: Vector[Inline]): String = inl.map {
-    case ITxt(s) => s
-    case IBold(c) => inlineText(c)
-    case IItal(c) => inlineText(c)
-    case ISup(c) => inlineText(c)
-    case ISub(c) => inlineText(c)
-    case ICode(s) => s
-    case ILink(_, c) => inlineText(c)
-    case IMath(tex, _, _) => tex
-    case IFootnote(_, c) => inlineText(c)
-  }.mkString
+  def inlineText(inl: Vector[Inline]): String = {
+    val sb = new java.lang.StringBuilder(64)
+    def rec(is: Vector[Inline]): Unit = is.foreach {
+      case ITxt(s) => sb.append(s)
+      case IBold(c) => rec(c)
+      case IItal(c) => rec(c)
+      case ISup(c) => rec(c)
+      case ISub(c) => rec(c)
+      case ICode(s) => sb.append(s)
+      case ILink(_, c) => rec(c)
+      case IMath(tex, _, _) => sb.append(tex)
+      case IFootnote(_, c) => rec(c)
+    }
+    rec(inl)
+    sb.toString
+  }
 
   private def blockInlines(b: Block): Vector[Inline] = b match {
     case BPara(i) => i
@@ -394,16 +399,57 @@ object BlockSegmenter {
     *  - < 3 words and no sentence punctuation and no math → boilerplate;
     *  - else content.
     */
+  private def isPunct(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?' || c == ';' || c == ':' || c == ',' ||
+      c == '。' || c == '，' || c == '、' || c == '！' || c == '？'
+
+  /** Single-walk paragraph statistics — word/link-word counts, punctuation,
+    * math presence — with no intermediate string construction (hot path).
+    */
+  private final class ParaStats {
+    var total = 0; var link = 0; var punct = false; var math = false
+    var nonWs = false
+    private var inWord = false
+    def addText(s: String, inLink: Boolean): Unit = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (isCjk(c)) { total += 1; if (inLink) link += 1; inWord = false; nonWs = true }
+        else if (!c.isWhitespace) {
+          if (!inWord) { total += 1; if (inLink) link += 1 }
+          inWord = true; nonWs = true
+          if (isPunct(c)) punct = true
+        } else inWord = false
+        i += 1
+      }
+    }
+    def linkDensity: Double = if (total == 0) 0.0 else link.toDouble / total
+  }
+
+  private def paraStats(inl: Vector[Inline]): ParaStats = {
+    val st = new ParaStats
+    def rec(is: Vector[Inline], inLink: Boolean): Unit = is.foreach {
+      case ITxt(s) => st.addText(s, inLink)
+      case ICode(s) => st.addText(s, inLink)
+      case ILink(_, c) => rec(c, true)
+      case IBold(c) => rec(c, inLink)
+      case IItal(c) => rec(c, inLink)
+      case ISup(c) => rec(c, inLink)
+      case ISub(c) => rec(c, inLink)
+      case IMath(_, _, _) =>
+        st.total += 1; if (inLink) st.link += 1
+        st.math = true; st.nonWs = true
+      case IFootnote(_, c) => rec(c, inLink)
+    }
+    rec(inl, false)
+    st
+  }
+
   private def classifyPara(inl: Vector[Inline]): Option[(Block, Boolean)] = {
-    val txt = inlineText(inl)
-    if (!txt.exists(!_.isWhitespace)) None
+    val st = paraStats(inl)
+    if (!st.nonWs) None
     else {
-      val ld = linkDensity(inl)
-      val w = words(txt)
-      val hasPunct = txt.exists(c => c == '.' || c == '!' || c == '?' || c == ';' || c == ':' || c == ',' ||
-        c == '。' || c == '，' || c == '、' || c == '！' || c == '？')
-      val hasMath = inl.exists { case IMath(_, _, _) => true; case _ => false }
-      val keep = ld <= 0.4 && (w >= 3 || hasPunct || hasMath)
+      val keep = st.linkDensity <= 0.4 && (st.total >= 3 || st.punct || st.math)
       Some((BPara(inl), keep))
     }
   }

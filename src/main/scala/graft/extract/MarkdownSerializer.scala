@@ -185,6 +185,18 @@ object MarkdownSerializer {
     * from <br> survives as a line break.
     */
   private def collapseWs(s: String): String = {
+    // fast path: nothing to collapse (common for short text runs)
+    var k = 0
+    var prevWs = false
+    var dirty = false
+    while (k < s.length && !dirty) {
+      val c = s.charAt(k)
+      val ws = c.isWhitespace
+      if (ws && (prevWs || c != ' ')) dirty = true
+      prevWs = ws
+      k += 1
+    }
+    if (!dirty) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var pendingNl = false
@@ -215,14 +227,19 @@ object MarkdownSerializer {
     lead + mark + core + mark + trail
   }
 
+  private val pTrailWs = java.util.regex.Pattern.compile("(?m)[ \t]+$")
+  private val pDoubleSp = java.util.regex.Pattern.compile("(?<=\\S) {2,}")
+  private val pBlanks = java.util.regex.Pattern.compile("\n{3,}")
+
   /** Document epilogue (markdown.py:367-396): trailing-space strip,
     * double-space collapse (not at line starts), blank-line squeeze, trim.
     */
   def epilogue(md: String): String =
-    md.replaceAll("(?m)[ \t]+$", "")
-      .replaceAll("(?<=\\S) {2,}", " ")
-      .replaceAll("\n{3,}", "\n\n")
-      .trim
+    pBlanks.matcher(
+      pDoubleSp.matcher(
+        pTrailWs.matcher(md).replaceAll("")
+      ).replaceAll(" ")
+    ).replaceAll("\n\n").trim
 }
 
 /** Splice span bodies back over their markers and compute final offsets.

@@ -31,14 +31,18 @@ object TexNormalizer {
     }.getOrElse(tex)
   }
 
+  private val pComment = java.util.regex.Pattern.compile("(?<!\\\\)%[^\n]*")
+  private val pSpaces = java.util.regex.Pattern.compile(" {2,}")
+
   def normalize(tex0: String, inline: Boolean): String = {
     var t = unwrap(tex0)
     // drop LaTeX comments: unescaped % to end of line
-    t = t.replaceAll("(?<!\\\\)%[^\n]*", "")
-    t = t.replace("\n", " ").replace("\r", " ")
+    if (t.indexOf('%') >= 0) t = pComment.matcher(t).replaceAll("")
+    if (t.indexOf('\n') >= 0 || t.indexOf('\r') >= 0)
+      t = t.replace("\n", " ").replace("\r", " ")
     styleCommands.foreach { c => t = replaceCommand(t, c, "") }
     synonyms.foreach { case (from, to) => t = replaceCommand(t, from, to) }
-    t = t.replaceAll(" {2,}", " ").trim
+    t = pSpaces.matcher(t).replaceAll(" ").trim
     if (t.isEmpty) ""
     else if (inline) "\\(" + t + "\\)"
     else "\\[" + t + "\\]"
@@ -48,6 +52,7 @@ object TexNormalizer {
     * hit \left or \leq).
     */
   private def replaceCommand(s: String, cmd: String, to: String): String = {
+    if (s.indexOf(cmd) < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

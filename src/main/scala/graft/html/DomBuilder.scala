@@ -2,10 +2,13 @@ package graft.html
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Lightweight DOM. Immutable view after build; children ordered. */
+/** Lightweight DOM. Immutable view after build; children ordered.
+  * `children` is an ArraySeq (single array copy at freeze time — Vector
+  * tree construction was a measurable share of per-doc allocation).
+  */
 sealed trait DomNode
 final case class DomText(text: String) extends DomNode
-final case class DomElem(tag: String, attrs: Map[String, String], children: Vector[DomNode]) extends DomNode {
+final case class DomElem(tag: String, attrs: Map[String, String], children: IndexedSeq[DomNode]) extends DomNode {
   def attr(name: String): Option[String] = attrs.get(name)
   def classes: Set[String] =
     attrs.get("class").map(_.split("\\s+").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
@@ -61,9 +64,13 @@ object DomBuilder {
 
     def top: Frame = stack(stack.length - 1)
 
+    def freeze(buf: ArrayBuffer[DomNode]): IndexedSeq[DomNode] =
+      if (buf.isEmpty) Vector.empty
+      else scala.collection.immutable.ArraySeq.unsafeWrapArray(buf.toArray)
+
     def closeTop(): Unit = {
       val f = stack.remove(stack.length - 1)
-      top.children += DomElem(f.tag, f.attrs, f.children.toVector)
+      top.children += DomElem(f.tag, f.attrs, freeze(f.children))
     }
 
     val it = tokens.iterator
@@ -97,7 +104,7 @@ object DomBuilder {
     }
     while (stack.length > 1) closeTop()
     val root = stack(0)
-    DomElem(root.tag, root.attrs, root.children.toVector)
+    DomElem(root.tag, root.attrs, freeze(root.children))
   }
 
   def parse(html: String): DomElem = build(HtmlTokenizer.tokenize(html))

@@ -33,7 +33,7 @@ object HtmlTokenizer {
 
   val defaultMaxTokens = 1 << 20
 
-  def tokenize(html: String, maxTokens: Int = defaultMaxTokens): Vector[HToken] = {
+  def tokenize(html: String, maxTokens: Int = defaultMaxTokens): IndexedSeq[HToken] = {
     val out = new ArrayBuffer[HToken](256)
     val n = html.length
     var i = 0
@@ -112,7 +112,7 @@ object HtmlTokenizer {
       }
     }
     if (out.length < maxTokens) flushText(n.min(html.length))
-    out.toVector
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 
   private def isNameStart(c: Char): Boolean =

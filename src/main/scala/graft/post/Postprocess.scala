@@ -22,45 +22,30 @@ object Postprocess {
     * case-insensitive copies of a ≥`minLen`-char chunk, keep everything
     * up to (and including) the FIRST copy, then extend the cut forward
     * to the next sentence boundary found in the kept region's tail.
-    * Rolling-hash candidate search keeps per-row cost ~O(n) at web scale
-    * (reference is O(n²), postprocessing.py:124-133 — SURVEY §7.4 #4);
-    * every hash hit is verified by a direct compare, so collisions can
-    * never change the output.
+    *
+    * Allocation-free candidate scan (web-scale hot path; the reference is
+    * O(n²) with copies, postprocessing.py:124-133 — SURVEY §7.4 #4): a
+    * period L exists only if the final `minLen` chars recur at n-L-minLen,
+    * so scan positions backwards with fast-failing regionMatches — the
+    * smallest L (first hit from the right) is the fundamental period.
     */
   def truncateRepetitions(s: String, minLen: Int = 30): String = {
     val n = s.length
     if (n < 2 * minLen) return s
-    val lower = s.toLowerCase
-    // prefix hashes, base 131 mod 2^61-1
-    val MOD = 2305843009213693951L // 2^61 - 1
-    val BASE = 131L
-    val h = new Array[Long](n + 1)
-    val pw = new Array[Long](n + 1)
-    pw(0) = 1L
-    var i = 0
-    while (i < n) {
-      h(i + 1) = addMod(mulMod(h(i), BASE, MOD), lower.charAt(i).toLong, MOD)
-      pw(i + 1) = mulMod(pw(i), BASE, MOD)
-      i += 1
+    var p = n - 2 * minLen          // candidate occurrence start (L = n - minLen - p)
+    val pMin = n / 2 - minLen       // L ≤ n/2
+    var L = -1
+    while (p >= pMin && p >= 0 && L < 0) {
+      if (s.regionMatches(true, p, s, n - minLen, minLen)) {
+        val cand = n - minLen - p
+        if (s.regionMatches(true, n - cand, s, n - 2 * cand, cand)) L = cand
+      }
+      if (L < 0) p -= 1
     }
-    def sub(a: Int, b: Int): Long = // hash of [a,b)
-      subMod(h(b), mulMod(h(a), pw(b - a), MOD), MOD)
-
-    // ascending scan finds the FUNDAMENTAL repeat period (smallest L);
-    // descending would lock onto a multiple and keep several copies
-    var L = minLen
-    var found = -1
-    val maxL = n / 2
-    while (L <= maxL && found < 0) {
-      if (sub(n - L, n) == sub(n - 2 * L, n - L) &&
-          lower.regionMatches(n - L, lower, n - 2 * L, L)) found = L
-      else L += 1
-    }
-    if (found < 0) return s
-    L = found
+    if (L < 0) return s
     // walk the period backwards to the first copy
     var pos = n - L
-    while (pos - L >= 0 && lower.regionMatches(pos - L, lower, pos, L)) pos -= L
+    while (pos - L >= 0 && s.regionMatches(true, pos - L, s, pos, L)) pos -= L
     val keepEnd = pos + L // keep exactly one copy
     // sentence-boundary extension (postprocessing.py:70-99 analog):
     // cut at the last sentence end within the kept copy, if any ends
@@ -72,24 +57,18 @@ object Postprocess {
     s.substring(0, cut).stripTrailing()
   }
 
-  /** (a*b) mod (2^61-1) via 128-bit fold; requires a,b < 2^61-1. */
-  private def mulMod(a: Long, b: Long, m: Long): Long = {
-    val hi = java.lang.Math.multiplyHigh(a, b)
-    val lo = a * b
-    var r = (lo & m) + ((lo >>> 61) | (hi << 3))
-    while (r >= m) r -= m
-    r
-  }
-  private def addMod(a: Long, b: Long, m: Long): Long = { val r = a + b; if (r >= m) r - m else r }
-  private def subMod(a: Long, b: Long, m: Long): Long = { val r = a - b; if (r < 0) r + m else r }
-
   // ---- W3/W4: repeated-line slice removal ------------------------------
+
+  // precompiled patterns — replaceAll(String) recompiles its regex on
+  // every call, which dominated per-doc cost before this
+  private val pBold = java.util.regex.Pattern.compile("\\*\\*")
+  private val pDigits = java.util.regex.Pattern.compile("[0-9_]")
 
   /** Digit/underscore/bold-marker strip used before line comparison
     * (`remove_numbers`, postprocessing.py:178-187).
     */
   def removeNumbers(line: String): String =
-    line.replaceAll("\\*\\*", "").replaceAll("[0-9_]", "").trim
+    pDigits.matcher(pBold.matcher(line).replaceAll("")).replaceAll("").trim
 
   /** Similarity of two normalized lines: 1 - lev/maxLen (the reference
     * uses difflib ratio > 0.9; this spec freezes the Levenshtein form).
@@ -229,29 +208,36 @@ object Postprocess {
 
   // ---- X7: markdown_compatible -------------------------------------------
 
+  private val pTagLead = java.util.regex.Pattern.compile(
+    "(?m)^\\((\\d+(?:\\.\\d+)*)\\)\\s*\\\\\\[(.+?)\\\\\\]\\s*$")
+  private val pTagTrail = java.util.regex.Pattern.compile(
+    "(?m)^\\\\\\[(.+?)\\\\\\]\\s*\\((\\d+(?:\\.\\d+)*)\\)\\s*$")
+  private val pBareUrl = java.util.regex.Pattern.compile(
+    "(?<![\\]\\[(])\\b(https?://[^\\s)\\]>\"']+)")
+
   /** Equation-tag rewrites, \bm→\mathbf, bare-URL linking
     * (postprocessing.py:25-67).
     */
   def markdownCompatible(s: String): String = {
     var t = s
     // "(1.2) \[ ... \]" or "\[ ... \] (1.2)" → "\[ ... \tag{1.2}\]"
-    t = t.replaceAll("(?m)^\\((\\d+(?:\\.\\d+)*)\\)\\s*\\\\\\[(.+?)\\\\\\]\\s*$",
-      "\\\\[$2 \\\\tag{$1}\\\\]")
-    t = t.replaceAll("(?m)^\\\\\\[(.+?)\\\\\\]\\s*\\((\\d+(?:\\.\\d+)*)\\)\\s*$",
-      "\\\\[$1 \\\\tag{$2}\\\\]")
+    t = pTagLead.matcher(t).replaceAll("\\\\[$2 \\\\tag{$1}\\\\]")
+    t = pTagTrail.matcher(t).replaceAll("\\\\[$1 \\\\tag{$2}\\\\]")
     t = t.replace("\\bm{", "\\mathbf{")
     // bare URLs → [url](url); skip urls already inside ]( ) or [ ]
-    t = t.replaceAll("(?<![\\]\\[(])\\b(https?://[^\\s)\\]>\"']+)", "[$1]($1)")
+    t = pBareUrl.matcher(t).replaceAll("[$1]($1)")
     t
   }
 
   // ---- X14 -----------------------------------------------------------------
 
+  private val pPrettyNl = java.util.regex.Pattern.compile("\n(?![\n\\d*#\\[])")
+
   /** Unwrap "pretty" line breaks: '\n' → ' ' unless followed by \n, digit,
     * '*', '#', or '[' (dataset/utils/utils.py:10-20).
     */
   def removePrettyLinebreaks(s: String): String =
-    s.replaceAll("\n(?![\n\\d*#\\[])", " ")
+    pPrettyNl.matcher(s).replaceAll(" ")
 
   // ---- X8: the ordered pipeline ---------------------------------------------
 
@@ -263,14 +249,23 @@ object Postprocess {
     * → empty-tabular deletion → marker-line cleanup → env closing →
     * whitespace squeeze → optional markdown_compatible.
     */
+  private val pLongTitle = java.util.regex.Pattern.compile("(?m)^#{1,6} {0,3}(.{100,})$")
+  private val pNumHeader = java.util.regex.Pattern.compile("(?m)^#{1,6} {0,3}[\\d.]+ *$\n?")
+  private val pEmptyTabular = java.util.regex.Pattern.compile(
+    "\\\\begin\\{tabular\\}\\{[^}]*\\}\\s*\\\\end\\{tabular\\}")
+  private val pHashLine = java.util.regex.Pattern.compile("(?m)^[#\\s]*#+ *$\n?")
+  private val pDotLine = java.util.regex.Pattern.compile("(?m)^\\. *$\n?")
+  private val pTrailWs = java.util.regex.Pattern.compile("(?m)[ \t]+$")
+  private val pBlankSqueeze = java.util.regex.Pattern.compile("\n{3,}")
+
   def postprocessSingle(md0: String, markdownFix: Boolean = true): Result = {
     var md = md0
     // >100-char titles are not titles (postprocessing.py:343-345)
-    md = md.replaceAll("(?m)^#{1,6} {0,3}(.{100,})$", "$1")
+    md = pLongTitle.matcher(md).replaceAll("$1")
     // itemize artifact (postprocessing.py:347)
     md = md.replace("[leftmargin=*]\n", "")
     // numeral-only headers (postprocessing.py:352-356)
-    md = md.replaceAll("(?m)^#{1,6} {0,3}[\\d.]+ *$\n?", "")
+    md = pNumHeader.matcher(md).replaceAll("")
     val truncated = truncateRepetitions(md)
     val wasTruncated = truncated.length < md.length
     md = truncated
@@ -278,13 +273,13 @@ object Postprocess {
     md = sliced.text
     md = killPathologicalTables(md)
     // empty tabular environments (postprocessing.py:458-476)
-    md = md.replaceAll("\\\\begin\\{tabular\\}\\{[^}]*\\}\\s*\\\\end\\{tabular\\}", "")
+    md = pEmptyTabular.matcher(md).replaceAll("")
     // lone '#' or '.' lines (postprocessing.py:478-481)
-    md = md.replaceAll("(?m)^[#\\s]*#+ *$\n?", "")
-    md = md.replaceAll("(?m)^\\. *$\n?", "")
+    md = pHashLine.matcher(md).replaceAll("")
+    md = pDotLine.matcher(md).replaceAll("")
     md = closeEnvs(md)
-    md = md.replaceAll("(?m)[ \t]+$", "")
-    md = md.replaceAll("\n{3,}", "\n\n").trim
+    md = pTrailWs.matcher(md).replaceAll("")
+    md = pBlankSqueeze.matcher(md).replaceAll("\n\n").trim
     if (markdownFix) md = markdownCompatible(md)
     Result(md, wasTruncated, sliced.slicesRemoved)
   }

@@ -27,13 +27,17 @@ object ExtractQueries {
   /** Deterministic boilerplated wrap of a plain text (no markup chars in
     * the documents corpus, so extraction must return the text verbatim).
     */
-  def wrapHtml(text: String): String =
+  val wrapPrefix: String =
     "<html><head><title>t</title><script>var a=1;</script></head><body>" +
       "<nav class=\"navbar\"><a href=\"/home\">home</a> <a href=\"/about\">about</a> <a href=\"/x\">more</a></nav>" +
       "<div class=\"cookie-banner\">We use cookies. <a href=\"/ok\">Accept</a></div>" +
-      "<article><p>" + text + "</p></article>" +
+      "<article><p>"
+  val wrapSuffix: String =
+    "</p></article>" +
       "<footer><p>Copyright 2024. All rights reserved.</p></footer>" +
       "</body></html>"
+
+  def wrapHtml(text: String): String = wrapPrefix + text + wrapSuffix
 
   val qxExtractPlain = QueryDef(
     "qx_extract_plain",
@@ -110,7 +114,28 @@ object ExtractQueries {
     None
   )
 
+  /** The same byte-exact oracle as qx_extract_plain, but through the
+    * NATIVE Catalyst expression (`extract_markdown`) registered on the
+    * session — the custom-Expression path proven against DuckDB.
+    */
+  val qxSqlExtractExpr = QueryDef(
+    "qx_sql_extract_expr",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("docs_for_expr")
+      s.sql(
+        s"""SELECT doc_id,
+           |  extract_markdown(to_binary(concat('${wrapPrefix}', text, '${wrapSuffix}'), 'utf-8')) AS markdown
+           |FROM docs_for_expr ORDER BY doc_id""".stripMargin)
+    },
+    Some("""
+      SELECT doc_id, regexp_replace(trim(text), ' {2,}', ' ', 'g') AS markdown
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val qxExtract = qxExtractCorpus
 
-  val all: Seq[QueryDef] = Seq(qxExtractPlain, qxExtractCorpus, qxExtractSpans, qxExtractHashes)
+  val all: Seq[QueryDef] = Seq(
+    qxExtractPlain, qxExtractCorpus, qxExtractSpans, qxExtractHashes, qxSqlExtractExpr)
 }
