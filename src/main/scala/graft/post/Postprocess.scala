@@ -80,6 +80,20 @@ object Postprocess {
     1.0 - Distance.levenshtein(a, b, maxDist = m).toDouble / m
   }
 
+  /** Exact similarity when ≥ minSim is achievable, else -1 — O(1) length
+    * reject plus a banded DP capped at the implied distance budget (the
+    * W3 hot path; unbounded levenshtein dominated the profile before).
+    */
+  def boundedSim(a: String, b: String, minSim: Double): Double = {
+    if (a == b) return 1.0
+    val m = math.max(a.length, b.length)
+    if (m == 0) return 1.0
+    val budget = (m * (1.0 - minSim)).toInt // sim ≥ minSim ⇔ d ≤ budget
+    if (math.abs(a.length - b.length) > budget) return -1.0
+    val d = Distance.levenshtein(a, b, maxDist = budget + 1)
+    if (d > budget) -1.0 else 1.0 - d.toDouble / m
+  }
+
   final case class SliceRemoval(text: String, slicesRemoved: Int)
 
   /** Detect and remove hallucinated repeated-line regions (typically
@@ -103,7 +117,7 @@ object Postprocess {
       if (usable(i)) {
         var j = i + 1
         while (j < n && norm(j).isEmpty) j += 1
-        if (j < n && usable(j) && lineSimilarity(norm(i), norm(j)) > 0.9) {
+        if (j < n && usable(j) && boundedSim(norm(i), norm(j), 0.9) > 0.9) {
           marked(i) = true; marked(j) = true
         }
       }
@@ -133,10 +147,10 @@ object Postprocess {
       var a = a0; var b = b0
       var k = 0
       while (k < 5 && a - 1 >= 0 && usable(a - 1) &&
-             lineSimilarity(norm(a - 1), norm(a0)) >= 0.9) { a -= 1; k += 1 }
+             boundedSim(norm(a - 1), norm(a0), 0.9) >= 0.9) { a -= 1; k += 1 }
       k = 0
       while (k < 5 && b + 1 < n && usable(b + 1) &&
-             lineSimilarity(norm(b + 1), norm(b0)) >= 0.9) { b += 1; k += 1 }
+             boundedSim(norm(b + 1), norm(b0), 0.9) >= 0.9) { b += 1; k += 1 }
       // include an immediately-preceding References heading (±2 lines)
       var p = a - 1
       var steps = 0
@@ -216,16 +230,18 @@ object Postprocess {
     "(?<![\\]\\[(])\\b(https?://[^\\s)\\]>\"']+)")
 
   /** Equation-tag rewrites, \bm→\mathbf, bare-URL linking
-    * (postprocessing.py:25-67).
+    * (postprocessing.py:25-67). `hasMath`/`hasUrl` gate the scans.
     */
-  def markdownCompatible(s: String): String = {
+  def markdownCompatible(s: String, hasMath: Boolean = true, hasUrl: Boolean = true): String = {
     var t = s
-    // "(1.2) \[ ... \]" or "\[ ... \] (1.2)" → "\[ ... \tag{1.2}\]"
-    t = pTagLead.matcher(t).replaceAll("\\\\[$2 \\\\tag{$1}\\\\]")
-    t = pTagTrail.matcher(t).replaceAll("\\\\[$1 \\\\tag{$2}\\\\]")
-    t = t.replace("\\bm{", "\\mathbf{")
+    if (hasMath) {
+      // "(1.2) \[ ... \]" or "\[ ... \] (1.2)" → "\[ ... \tag{1.2}\]"
+      t = pTagLead.matcher(t).replaceAll("\\\\[$2 \\\\tag{$1}\\\\]")
+      t = pTagTrail.matcher(t).replaceAll("\\\\[$1 \\\\tag{$2}\\\\]")
+      if (t.contains("\\bm{")) t = t.replace("\\bm{", "\\mathbf{")
+    }
     // bare URLs → [url](url); skip urls already inside ]( ) or [ ]
-    t = pBareUrl.matcher(t).replaceAll("[$1]($1)")
+    if (hasUrl) t = pBareUrl.matcher(t).replaceAll("[$1]($1)")
     t
   }
 
@@ -258,29 +274,71 @@ object Postprocess {
   private val pTrailWs = java.util.regex.Pattern.compile("(?m)[ \t]+$")
   private val pBlankSqueeze = java.util.regex.Pattern.compile("\n{3,}")
 
+  /** One-pass feature scan: each boolean gates a regex stage below —
+    * java.util.regex full-document scans for patterns that cannot match
+    * dominated the execution profile.
+    */
+  private final class Feat(s: String) {
+    var hash = false; var dotLine = false; var trailWs = false
+    var tripleNl = false; var amp = false; var http = false
+    var bracketEq = false; var beginEnv = false; var tabular = false; var leftmargin = false
+    var i = 0
+    var prev = '\n'
+    var prev2 = '\n'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '#' => hash = true
+        case '.' => if (prev == '\n') dotLine = true
+        case '\n' =>
+          if (prev == ' ' || prev == '\t') trailWs = true
+          if (prev == '\n' && prev2 == '\n') tripleNl = true
+        case '&' => amp = true
+        case 'h' => if (!http && s.startsWith("http", i)) http = true
+        case '[' => if (prev == '\\') bracketEq = true
+                    else if (!leftmargin && s.startsWith("[leftmargin=*]", i)) leftmargin = true
+        case 'b' => if (!beginEnv && prev == '\\' && s.startsWith("begin{", i)) {
+          beginEnv = true
+          if (s.startsWith("begin{tabular}", i)) tabular = true
+        } else if (!tabular && prev == '\\' && s.startsWith("begin{tabular}", i)) tabular = true
+        case _ => ()
+      }
+      prev2 = prev; prev = c
+      i += 1
+    }
+    if (prev == ' ' || prev == '\t') trailWs = true
+  }
+
   def postprocessSingle(md0: String, markdownFix: Boolean = true): Result = {
     var md = md0
-    // >100-char titles are not titles (postprocessing.py:343-345)
-    md = pLongTitle.matcher(md).replaceAll("$1")
-    // itemize artifact (postprocessing.py:347)
-    md = md.replace("[leftmargin=*]\n", "")
+    val f = new Feat(md)
+    // >100-char titles are not titles (postprocessing.py:343-345);
     // numeral-only headers (postprocessing.py:352-356)
-    md = pNumHeader.matcher(md).replaceAll("")
+    if (f.hash) {
+      md = pLongTitle.matcher(md).replaceAll("$1")
+      md = pNumHeader.matcher(md).replaceAll("")
+    }
+    // itemize artifact (postprocessing.py:347)
+    if (f.leftmargin) md = md.replace("[leftmargin=*]\n", "")
     val truncated = truncateRepetitions(md)
     val wasTruncated = truncated.length < md.length
     md = truncated
     val sliced = removeHallucinatedReferences(md)
     md = sliced.text
-    md = killPathologicalTables(md)
+    if (f.amp || f.beginEnv) md = killPathologicalTables(md)
     // empty tabular environments (postprocessing.py:458-476)
-    md = pEmptyTabular.matcher(md).replaceAll("")
+    if (f.tabular) md = pEmptyTabular.matcher(md).replaceAll("")
     // lone '#' or '.' lines (postprocessing.py:478-481)
-    md = pHashLine.matcher(md).replaceAll("")
-    md = pDotLine.matcher(md).replaceAll("")
-    md = closeEnvs(md)
-    md = pTrailWs.matcher(md).replaceAll("")
-    md = pBlankSqueeze.matcher(md).replaceAll("\n\n").trim
-    if (markdownFix) md = markdownCompatible(md)
+    if (f.hash) md = pHashLine.matcher(md).replaceAll("")
+    if (f.dotLine) md = pDotLine.matcher(md).replaceAll("")
+    if (f.beginEnv) md = closeEnvs(md)
+    if (f.trailWs || wasTruncated || sliced.slicesRemoved > 0)
+      md = pTrailWs.matcher(md).replaceAll("")
+    if (f.tripleNl || sliced.slicesRemoved > 0)
+      md = pBlankSqueeze.matcher(md).replaceAll("\n\n")
+    md = md.trim
+    if (markdownFix && (f.bracketEq || f.http))
+      md = markdownCompatible(md, f.bracketEq, f.http)
     Result(md, wasTruncated, sliced.slicesRemoved)
   }
 }

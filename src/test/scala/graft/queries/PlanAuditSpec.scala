@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Physical-plan audits: the plans we designed for are the plans
+  * Catalyst actually picks (the "explain and iterate" discipline —
+  * filters reach the parquet scan, small sides broadcast, anti-joins
+  * stay anti, scans prune columns).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter pushed to parquet scan; columns pruned") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      s"expected quantity filter pushed to scan:\n$p")
+    // projection needs 5 source columns; the scan must not read the rest
+    assert(p.contains("ReadSchema") && !p.contains("l_returnflag"),
+      "scan should not read unprojected columns")
+  }
+
+  test("q03: dimension joins are broadcast") {
+    val p = plan("q03_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("q04: anti-join planned as broadcast/hash anti") {
+    val p = plan("q04_antijoin_resume")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti join:\n$p")
+  }
+
+  test("q23: centroid/query side broadcast in cosine top-k") {
+    val p = plan("q23_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast for the small query side:\n$p")
+  }
+
+  test("q01: partial aggregation before the shuffle (map-side combine)") {
+    val p = plan("q01_pricing_agg")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "expected partial + final aggregate pair")
+  }
+
+  test("extraction scan prunes to url column for the resume anti-join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan_audit").toString
+    graft.pipeline.ExtractJob.run(spark, "synthetic:50", dir)
+    val pages = graft.gen.SyntheticCorpus.generate(spark, 50)
+    val done = graft.io.TableIO.readData(spark, dir).get.select("url")
+    val p = pages.join(done, Seq("url"), "left_anti").queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<url:string>"),
+      s"resume scan must read only the url column:\n$p")
+  }
+}
