@@ -51,39 +51,52 @@ object Dedup {
     """.trim)
   )
 
-  /** Token-trigram shingles hashed with a polynomial mix (pure column
-    * expression; guarded so <3-token docs yield no shingles).
+  /** Same arithmetic as the SQL oracle, as a plain Scala
+    * function for the typed-map path: Catalyst's CollapseProject inlines
+    * a referenced shingle column into EVERY minhash expression (8×
+    * recompute, O(n²) per row); one typed map computes the signature
+    * once. Values are bit-identical to the column form and the oracle.
     */
-  private def shingles(textCol: Column): Column = {
-    val t = tokens(textCol)
-    def f(i: Column) = wordFeature(element_at(t, i))
-    when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2),
-        i => pmod((f(i) * 1009L + f(i + 1)) * 1009L + f(i + 2), lit(P)))
-    ).otherwise(array())
+  def minhashSigScala(text: String): Option[Array[Long]] = {
+    val tk = text.trim.split("\\s+")
+    if (tk.length < 3) return None
+    def f(w: String): Long = 31L * w.length + w.codePointAt(0)
+    val mins = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < tk.length) {
+      val h = ((f(tk(i)) * 1009L + f(tk(i + 1))) * 1009L + f(tk(i + 2))) % P
+      var k = 0
+      while (k < 8) {
+        val v = (A(k) * h + B(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    Some(mins)
   }
   private def shinglesSql(tk: String): String =
     s"list_transform(generate_series(1, len($tk) - 2), i -> " +
       s"CAST(((${fw(s"$tk[i]")} * 1009 + ${fw(s"$tk[i+1]")}) * 1009 + ${fw(s"$tk[i+2]")}) % $P AS BIGINT))"
 
-  private def minhashCols(sh: Column): Seq[Column] =
-    A.zip(B).zipWithIndex.map { case ((a, b), k) =>
-      array_min(transform(sh, h => pmod(h * a + b, lit(P)))).as(s"mh$k")
-    }
   private def minhashSqlCols(sh: String): String =
     A.zip(B).zipWithIndex.map { case ((a, b), k) =>
       s"list_min(list_transform($sh, h -> ($a * h + $b) % $P)) AS mh$k"
     }.mkString(",\n             ")
 
+  private def sigDf(s: SparkSession, base: DataFrame): DataFrame = {
+    import s.implicits._
+    base.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        minhashSigScala(text).map(m => (id, m(0), m(1), m(2), m(3), m(4), m(5), m(6), m(7)))
+      }
+      .toDF("doc_id", "mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7")
+  }
+
   /** MinHash signatures (k=8) per document. */
   val q19MinhashSig = QueryDef(
     "q19_minhash_sig",
-    (s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id") +: minhashCols(col("sh")): _*)
-        .orderBy("doc_id"),
+    (s, dir) => sigDf(s, s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id"),
     Some(s"""
       WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
       s AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM t WHERE len(tk) >= 3)
@@ -99,10 +112,7 @@ object Dedup {
   val q20LshBuckets = QueryDef(
     "q20_lsh_buckets",
     (s, dir) => {
-      val sig = dupCorpus(s, dir)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id") +: minhashCols(col("sh")): _*)
+      val sig = sigDf(s, dupCorpus(s, dir))
       val bands = (0 until 4).map { b =>
         sig.select(lit(b).as("band"),
           (col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")).as("bkey"),
