@@ -176,6 +176,28 @@ object TextOps {
     """.trim)
   )
 
+  /** X13 ligature cleanup round-trip: inject typographic ligatures, run
+    * the real Scala cleanup in Spark, and let DuckDB assert the inverse.
+    */
+  val q29Ligatures = QueryDef(
+    "q29_ligatures",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val noisy = text.replace("fi", "ﬁ").replace("fl", "ﬂ").replace("ff", "ﬀ")
+          (id, graft.extract.TextCleanup.replaceLigatures(noisy))
+        })
+        .toDF("doc_id", "cleaned")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, text AS cleaned FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    q13TokenStats, q14QualityScore, q15LangId, q16Fingerprint, q17WsNormalize)
+    q13TokenStats, q14QualityScore, q15LangId, q16Fingerprint, q17WsNormalize,
+    q29Ligatures)
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference has NO streaming (SURVEY §2.9) — its only stateful
+  * constructs are the per-sequence rolling-variance early-stop and the
+  * file-based resume, both re-expressed as batch ops here. This module
+  * is the forward-looking extension the task brief asks for: the same
+  * event schema consumed incrementally, with watermarked event-time
+  * windows and custom session state — the streaming twins of A6/W6.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class Session(user_id: Long, n_events: Int, total_value: Double,
+                           started_ms: Long, last_ms: Long)
+
+  /** Watermarked sliding-window aggregation (event time). The source
+    * column may arrive as TIMESTAMP_NTZ from parquet; watermarks require
+    * TIMESTAMP, so normalize first (session TZ is UTC).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Custom session state via flatMapGroupsWithState: a user's session
+    * closes after `gapMs` of inactivity (processing-time flush for the
+    * batch-driven tests; the W6 rolling-state shape).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[Session]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last_ms <= gapMs =>
+                cur = Some(s.copy(n_events = s.n_events + 1,
+                  total_value = s.total_value + e.value, last_ms = t))
+              case Some(s) =>
+                out += s // gap exceeded: emit closed session
+                cur = Some(Session(userId, 1, e.value, t, t))
+              case None =>
+                cur = Some(Session(userId, 1, e.value, t, t))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+}

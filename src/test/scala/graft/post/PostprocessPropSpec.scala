@@ -1,0 +1,95 @@
+package graft.post
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class PostprocessPropSpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 300): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "data", "spark", "the", "x", "42.", "#", "\\[", "\\]", "**")
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOf(word)
+    seps <- Gen.listOfN(words.length, Gen.oneOf(" ", " ", " ", "\n", "\n\n", ". "))
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  test("property: truncateRepetitions never lengthens, never throws") {
+    check(Prop.forAll(textGen) { s =>
+      val out = Postprocess.truncateRepetitions(s)
+      out.length <= s.length
+    })
+  }
+
+  test("property: repeated tails always collapse to one copy") {
+    val chunk = Gen.listOfN(8, word).map(_.mkString(" ") + ". ")
+    val g = for { base <- textGen; c <- chunk; k <- Gen.choose(2, 9) } yield (base, c, k)
+    check(Prop.forAll(g) { case (base, c, k) =>
+      val s = base + (c * k) // chunk ends with ". " so the tail is exactly periodic
+      val out = Postprocess.truncateRepetitions(s)
+      // truncated output never retains 2 full copies of a >=30-char chunk
+      c.length < 30 || out.length < s.length
+    })
+  }
+
+  test("property: closeEnvs balances every tracked environment") {
+    val env = Gen.oneOf("tabular", "table", "matrix", "bmatrix", "pmatrix")
+    val frag = Gen.oneOf(
+      env.map(e => s"\\begin{$e}"), env.map(e => s"\\end{$e}"), Gen.const("text "))
+    val g = Gen.listOf(frag).map(_.mkString)
+    check(Prop.forAll(g) { s =>
+      val out = Postprocess.closeEnvs(s)
+      Seq("tabular", "table", "matrix", "bmatrix", "pmatrix").forall { e =>
+        val b = out.sliding(s"\\begin{$e}".length).count(_ == s"\\begin{$e}")
+        val c = out.sliding(s"\\end{$e}".length).count(_ == s"\\end{$e}")
+        b <= c
+      }
+    }, 120)
+  }
+
+  test("property: markdownCompatible and epilogue are idempotent") {
+    check(Prop.forAll(textGen) { s =>
+      val m1 = Postprocess.markdownCompatible(s)
+      val e1 = graft.extract.MarkdownSerializer.epilogue(s)
+      Postprocess.markdownCompatible(m1) == m1 &&
+        graft.extract.MarkdownSerializer.epilogue(e1) == e1
+    })
+  }
+
+  test("property: postprocessSingle never throws and strips trailing ws") {
+    check(Prop.forAll(textGen) { s =>
+      val r = Postprocess.postprocessSingle(s)
+      r.text == r.text.trim
+    })
+  }
+
+  test("property: boundedSim agrees with exact lineSimilarity at the 0.9 gate") {
+    val lineGen = Gen.listOfN(12, Gen.alphaChar).map(_.mkString)
+    val g = for { a <- lineGen; b <- lineGen } yield (a, b)
+    check(Prop.forAll(g) { case (a, b) =>
+      val exact = Postprocess.lineSimilarity(a, b)
+      val bounded = Postprocess.boundedSim(a, b, 0.9)
+      (exact > 0.9) == (bounded > 0.9) && (exact >= 0.9) == (bounded >= 0.9)
+    })
+  }
+
+  test("property: extractor never throws on mutilated corpus pages") {
+    val g = for {
+      i <- Gen.choose(0L, 2000L)
+      cut <- Gen.choose(0.0, 1.0)
+    } yield (i, cut)
+    check(Prop.forAll(g) { case (i, cut) =>
+      val page = graft.gen.SyntheticCorpus.pageFor(42L, i)
+      val bytes = java.util.Arrays.copyOf(page.html, (page.html.length * cut).toInt.max(0))
+      val d = graft.extract.Extractor.extract(page.url, bytes)
+      // spans must always index into the final markdown
+      d.spans.forall(sp => sp.start >= 0 && sp.end <= d.markdown.length &&
+        d.markdown.substring(sp.start, sp.end) == sp.body)
+    }, 150)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestSession
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed streaming counts equal the batch computation") {
+    import spark.implicits._
+    // the file stream source requires a directory: stage the events file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val evStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = EventStreams.windowedCounts(evStream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.awaitTermination(60000); q.stop()
+    val streamed = spark.table("win_counts")
+    val batch = EventStreams.windowedCounts(spark.read.parquet(s"$sf/events.parquet"))
+    // append mode emits only watermark-closed windows: all but the last
+    val streamedN = streamed.count()
+    val batchN = batch.count()
+    assert(streamedN > 0 && streamedN <= batchN)
+    // every emitted row matches the batch result exactly
+    assert(streamed.except(batch).count() == 0)
+  }
+
+  test("sessionization state machine closes sessions on gaps") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0, "{}")
+    // two sessions for user 1 (gap 120 min), one open session for user 2
+    val events = Seq(
+      ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20),
+      ev(4, 1, 140), ev(5, 1, 150),
+      ev(6, 2, 5)
+    ).toDS()
+    val closed = EventStreams.sessionize(events, gapMs = 30 * 60000L).collect()
+    assert(closed.length == 1) // only user 1's first session closed
+    val s = closed.head
+    assert(s.user_id == 1 && s.n_events == 3 && s.total_value == 3.0)
+    assert(s.started_ms == 0 && s.last_ms == 20 * 60000L)
+  }
+}
