@@ -47,9 +47,26 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    spark.stop()
+
+    // north-rule scaling evidence inline (N vs 4N parallelism on the same
+    // input; best of 2 interleaved rounds; JIT already warm from above)
+    import graft.bench.ScalingBench
+    // fixed size regardless of sf: the measurement needs ≥5 s of work per
+    // run or fixed overheads (stage scheduling, session setup) dominate
+    val scalePages = 100000L
+    val runs = (1 to 2).flatMap(_ => Seq(ScalingBench.runAt(8, scalePages), ScalingBench.runAt(32, scalePages)))
+    val lo = runs.filter(_.cores == 8).map(_.docsPerSec).max
+    val hi = runs.filter(_.cores == 32).map(_.docsPerSec).max
+    val eff = (hi / lo) / 4.0
+    val ceiling = ScalingBench.cpuCeiling(8, 32)
+    val identical = runs.map(_.outputMd5).distinct.length == 1
+
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""extract_docs_per_sec":$docsPerSec%.1f,"extract_pages":$nPages,"extract_ok":$nOk,"cores":$cpus}""")
-    spark.stop()
+      f""""extract_docs_per_sec":$docsPerSec%.1f,"extract_pages":$nPages,"extract_ok":$nOk,"cores":$cpus,""" +
+      f""""scaling":{"lo_cores":8,"hi_cores":32,"lo_docs_per_sec":$lo%.1f,"hi_docs_per_sec":$hi%.1f,""" +
+      f""""efficiency":$eff%.3f,"cpu_smt_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,""" +
+      f""""output_byte_identical":$identical}}""")
   }
 }

@@ -127,14 +127,29 @@ object MarkdownSerializer {
       }.mkString
       val sb = new java.lang.StringBuilder(256)
       sb.append("\\begin{table}\n\\begin{tabular}{").append(spec).append("}\n")
+      // square the table: a rowspan>1 cell occupies its columns in the
+      // following rows as empty placeholder cells (document.py:604-659
+      // _square_table semantics)
+      val pending = new Array[Int](ncols.max(1)) // remaining rows owed per column
       var ri = 0
       t.rows.foreach { row =>
-        val cells = row.map { c =>
+        val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+        var ci = 0
+        def fillPlaceholders(): Unit =
+          while (ci < ncols && pending(ci) > 0) { pending(ci) -= 1; cells += ""; ci += 1 }
+        row.foreach { c =>
+          fillPlaceholders()
           val content0 = inl(c.inlines, spans = false).trim
           val content = if (c.header && content0.nonEmpty) "\\bf " + content0 else content0
           val withRs = if (c.rowspan > 1) s"\\multirow{${c.rowspan}}{*}{$content}" else content
-          if (c.colspan > 1) s"\\multicolumn{${c.colspan}}{${c.align}}{$withRs}" else withRs
+          cells += (if (c.colspan > 1) s"\\multicolumn{${c.colspan}}{${c.align}}{$withRs}" else withRs)
+          var k = 0
+          while (k < c.colspan && ci < ncols) {
+            if (c.rowspan > 1) pending(ci) = c.rowspan - 1
+            ci += 1; k += 1
+          }
         }
+        fillPlaceholders()
         sb.append(cells.mkString(" & ")).append(" \\\\")
         if (ri == 0 && row.forall(_.header)) sb.append("\n\\hline")
         sb.append('\n')

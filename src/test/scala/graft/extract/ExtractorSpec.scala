@@ -98,6 +98,24 @@ class ExtractorSpec extends AnyFunSuite {
         |Results""".stripMargin)
   }
 
+  test("table family: rowspan squares the grid with placeholder cells") {
+    val h =
+      """<body><table id="r1">
+        |<tr><td rowspan="2">span</td><td>a1</td></tr>
+        |<tr><td>a2</td></tr>
+        |<tr><td>b1</td><td>b2</td></tr>
+        |</table></body>""".stripMargin
+    val d = doc(h)
+    assert(d.spans(0).body ==
+      """\begin{table}
+        |\begin{tabular}{ll}
+        |\multirow{2}{*}{span} & a1 \\
+        | & a2 \\
+        |b1 & b2 \\
+        |\end{tabular}
+        |\end{table}""".stripMargin)
+  }
+
   test("lists family: nesting, ordering, definition lists") {
     val h =
       """<body><ul><li>one</li><li>two<ol><li>sub a</li><li>sub b</li></ol></li></ul>
