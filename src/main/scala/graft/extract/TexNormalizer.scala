@@ -34,8 +34,13 @@ object TexNormalizer {
   private val pComment = java.util.regex.Pattern.compile("(?<!\\\\)%[^\n]*")
   private val pSpaces = java.util.regex.Pattern.compile(" {2,}")
 
+  private val pDotRun = java.util.regex.Pattern.compile("·{3,}")
+
   def normalize(tex0: String, inline: Boolean): String = {
     var t = unwrap(tex0)
+    // middle-dot runs → \cdots, then the unicode→TeX table (X6)
+    if (t.indexOf('·') >= 0) t = pDotRun.matcher(t).replaceAll("\\\\cdots ")
+    t = unicodeToLatex(t)
     // drop LaTeX comments: unescaped % to end of line
     if (t.indexOf('%') >= 0) t = pComment.matcher(t).replaceAll("")
     if (t.indexOf('\n') >= 0 || t.indexOf('\r') >= 0)
@@ -66,6 +71,38 @@ object TexNormalizer {
       }
     }
     sb.toString
+  }
+
+  /** X6 subset: unicode math symbols → LaTeX commands inside captured
+    * TeX (`unicode_to_latex`, latex_conversion.py:76-102 — the pylatexenc
+    * dependency reduced to a fixed table; deterministic by construction).
+    */
+  private val uni2tex: Map[Char, String] = Map(
+    'α' -> "\\alpha ", 'β' -> "\\beta ", 'γ' -> "\\gamma ", 'δ' -> "\\delta ",
+    'ε' -> "\\varepsilon ", 'λ' -> "\\lambda ", 'μ' -> "\\mu ", 'π' -> "\\pi ",
+    'σ' -> "\\sigma ", 'ω' -> "\\omega ", 'Δ' -> "\\Delta ", 'Ω' -> "\\Omega ",
+    '∞' -> "\\infty ", '∑' -> "\\sum ", '∏' -> "\\prod ", '∫' -> "\\int ",
+    '√' -> "\\sqrt ", '≈' -> "\\approx ", '≠' -> "\\neq ", '≤' -> "\\leq ",
+    '≥' -> "\\geq ", '±' -> "\\pm ", '×' -> "\\times ", '÷' -> "\\div ",
+    '−' -> "-", '→' -> "\\rightarrow ", '←' -> "\\leftarrow ", '·' -> "\\cdot ",
+    '°' -> "^{\\circ}")
+
+  def unicodeToLatex(tex: String): String = {
+    var any = false
+    var i = 0
+    while (i < tex.length && !any) { if (uni2tex.contains(tex.charAt(i))) any = true; i += 1 }
+    if (!any) return tex
+    val sb = new java.lang.StringBuilder(tex.length + 16)
+    i = 0
+    while (i < tex.length) {
+      val c = tex.charAt(i)
+      uni2tex.get(c) match {
+        case Some(rep) => sb.append(rep)
+        case None => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString.replaceAll(" {2,}", " ").trim
   }
 
   /** LaTeX special-char escaping for prose embedded in tabular cells —

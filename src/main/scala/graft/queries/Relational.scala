@@ -310,9 +310,47 @@ object Relational {
     """.trim)
   )
 
+  /** A6: the repetition-signal sliding variance (RunningVarTorch,
+    * model.py:418-439) restated relationally — var over a 15-row window
+    * per key, computed EXACTLY via decimal Σx/Σx² so both engines agree
+    * to the bit: var = (n·Σx² − (Σx)²) / (n·(n−1)).
+    */
+  val q30WindowVariance = QueryDef(
+    "q30_window_variance",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-14, 0)
+      val x = col("value").cast("decimal(18,2)")
+      val n = count(lit(1)).over(w)
+      val sx = sum(x).over(w)
+      val sx2 = sum(x * x).over(w)
+      ev(s, dir)
+        .withColumn("n", n)
+        .withColumn("var_num", (col("n") * sx2 - sx * sx).cast("double"))
+        .select(col("event_id"), col("user_id"), col("n"),
+          when(col("n") > 1, col("var_num") / (col("n") * (col("n") - 1)))
+            .otherwise(0.0).as("run_var"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_id, user_id,
+               count(*) OVER wnd AS n,
+               sum(CAST(value AS DECIMAL(18,2))) OVER wnd AS sx,
+               sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER wnd AS sx2
+        FROM events
+        WINDOW wnd AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, n,
+             CASE WHEN n > 1 THEN CAST(n * sx2 - sx * sx AS DOUBLE) / (n * (n - 1))
+                  ELSE 0.0 END AS run_var
+      FROM t ORDER BY user_id, event_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01PricingAgg, q02FilterPushdown, q03JoinEnrich, q04AntiJoinResume,
     q05SemiJoin, q06WindowRunning, q07TopkPerGroup, q08LeadRuns,
-    q09Reassembly, q10Distinct, q11RegexFilter, q12KeyedZip
+    q09Reassembly, q10Distinct, q11RegexFilter, q12KeyedZip, q30WindowVariance
   )
 }

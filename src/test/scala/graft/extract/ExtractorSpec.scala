@@ -74,6 +74,13 @@ class ExtractorSpec extends AnyFunSuite {
     assert(TexNormalizer.normalize("x \\leq y % comment", inline = false) == "\\[x \\leq y\\]")
   }
 
+  test("tex normalization: unicode→TeX table and dot runs (X6)") {
+    assert(TexNormalizer.normalize("α ≤ ∑ x · y", inline = true) ==
+      "\\(\\alpha \\leq \\sum x \\cdot y\\)")
+    assert(TexNormalizer.normalize("a ····· b", inline = true) == "\\(a \\cdots b\\)")
+    assert(TexNormalizer.unicodeToLatex("Δx ≈ 90°") == "\\Delta x \\approx 90^{\\circ}")
+  }
+
   test("table family: tabular serialization with colspan and header row") {
     val h =
       """<body><table id="t1"><caption>Results</caption>
