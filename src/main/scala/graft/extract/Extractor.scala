@@ -21,7 +21,10 @@ object Extractor {
       maxTokens: Int = 1 << 20,
       maxDomDepth: Int = 256,
       maxDomNodes: Int = 1 << 20,
-      markdownFix: Boolean = true
+      markdownFix: Boolean = true,
+      // W7 sentinel emission (predict.py:171-195): a page whose extraction
+      // is empty despite non-empty input yields [MISSING_PAGE_EMPTY]
+      emitSentinels: Boolean = false
   )
 
   val default: Config = Config()
@@ -50,7 +53,11 @@ object Extractor {
       val seg = BlockSegmenter.segment(dom)
       val ser = MarkdownSerializer.serialize(seg.blocks)
       val post = Postprocess.postprocessSingle(ser.markdown, cfg.markdownFix)
-      val (finalMd, spans) = SpanReinserter.reinsert(post.text, ser.bodies)
+      val (finalMd0, spans) = SpanReinserter.reinsert(post.text, ser.bodies)
+      val finalMd =
+        if (cfg.emitSentinels && finalMd0.isEmpty && html.exists(!_.isWhitespace))
+          "[MISSING_PAGE_EMPTY]"
+        else finalMd0
       val counts = spans.groupBy(_.kind).map { case (k, v) => (k, v.length) }
       ExtractedDoc(
         url = url,
