@@ -265,6 +265,25 @@ object Postprocess {
     * → empty-tabular deletion → marker-line cleanup → env closing →
     * whitespace squeeze → optional markdown_compatible.
     */
+  private val pEmptyCite = java.util.regex.Pattern.compile("(?m)^\\* \\[\\] *$\n?")
+  private val pEmptyCiteInline = java.util.regex.Pattern.compile(" \\[\\](?=[ ,.;])")
+  private val pPmcMath = java.util.regex.Pattern.compile(
+    "(?<![\\w_])_([A-Za-z0-9]+)__([A-Za-z0-9]+)_(?![\\w_])")
+
+  /** Empty citation brackets and PMC-style math artifacts
+    * (postprocessing.py:357-384): "* []" reference stubs dropped,
+    * " []" before punctuation removed, `_a__b_` → \(a_{b}\).
+    */
+  def fixArtifacts(s: String): String = {
+    var t = s
+    if (t.contains("[]")) {
+      t = pEmptyCite.matcher(t).replaceAll("")
+      t = pEmptyCiteInline.matcher(t).replaceAll("")
+    }
+    if (t.contains("__")) t = pPmcMath.matcher(t).replaceAll("\\\\($1_{$2}\\\\)")
+    t
+  }
+
   private val pLongTitle = java.util.regex.Pattern.compile("(?m)^#{1,6} {0,3}(.{100,})$")
   private val pNumHeader = java.util.regex.Pattern.compile("(?m)^#{1,6} {0,3}[\\d.]+ *$\n?")
   private val pEmptyTabular = java.util.regex.Pattern.compile(
@@ -325,6 +344,7 @@ object Postprocess {
     md = truncated
     val sliced = removeHallucinatedReferences(md)
     md = sliced.text
+    md = fixArtifacts(md)
     if (f.amp || f.beginEnv) md = killPathologicalTables(md)
     // empty tabular environments (postprocessing.py:458-476)
     if (f.tabular) md = pEmptyTabular.matcher(md).replaceAll("")

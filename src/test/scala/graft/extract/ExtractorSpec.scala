@@ -204,6 +204,13 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Postprocess.markdownCompatible("[t](https://a.io/x)") == "[t](https://a.io/x)")
   }
 
+  test("artifact fixes: empty citation brackets, PMC math") {
+    assert(Postprocess.fixArtifacts("see [], ok") == "see, ok")
+    assert(Postprocess.fixArtifacts("* []\nreal line") == "real line")
+    assert(Postprocess.fixArtifacts("then _a__bc_ holds") == "then \\(a_{bc}\\) holds")
+    assert(Postprocess.fixArtifacts("snake__case stays") == "snake__case stays")
+  }
+
   test("pathological table line killed") {
     val bad = "x " + "& " * 500 + "\n"
     val good = "normal line\n"
