@@ -197,7 +197,33 @@ object TextOps {
     """.trim)
   )
 
+  /** BPE-ish subword token counting: the GPT-2-style pre-tokenizer split
+    * (letter runs / digit runs / punctuation runs, leading-space glued)
+    * as a pure regex count — the standard "how many tokens will this
+    * cost" estimator for training-data budgeting.
+    */
+  val q33BpeTokens = QueryDef(
+    "q33_bpe_tokens",
+    (s, dir) => {
+      val pat = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe"),
+          size(filter(regexp_extract_all(col("text"), lit(pat), lit(0)),
+            t => !regexp_like(t, lit("^\\s+$")))).as("n_bpe_nonws"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+') AS toks
+                 FROM documents)
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe,
+             CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^\s+$'))) AS INT) AS n_bpe_nonws
+      FROM t ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q13TokenStats, q14QualityScore, q15LangId, q16Fingerprint, q17WsNormalize,
-    q29Ligatures)
+    q29Ligatures, q33BpeTokens)
 }
