@@ -128,10 +128,13 @@ object Similarity {
     "q31_embed_neardup",
     (s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val a = e.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
-      val b = e.select(col("label"), col("vec_id").as("v2"), col("embedding").as("e2"))
-      val cos = dot(col("e1"), col("e2")) /
-        (sqrt(dot(col("e1"), col("e1"))) * sqrt(dot(col("e2"), col("e2"))))
+      // norms hoisted BEFORE the join: the exchange materializes them
+      // once per vector instead of once per candidate pair
+      val a = e.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("n1"))
+      val b = e.select(col("label"), col("vec_id").as("v2"), col("embedding").as("e2"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("n2"))
+      val cos = dot(col("e1"), col("e2")) / (col("n1") * col("n2"))
       val w = Window.partitionBy(col("label")).orderBy(col("cos6").desc, col("v1").asc, col("v2").asc)
       a.join(b, Seq("label")).filter(col("v1") < col("v2"))
         .withColumn("cos6", round(cos, 6))
@@ -183,11 +186,13 @@ object Similarity {
       val cells = assigned
       val emb = e.select(col("vec_id"), col("embedding"))
       val qs = cells.filter(col("vid") % 100 === 4) // a deterministic query subset
-        .join(emb, cells("vid") === emb("vec_id")).select(col("vid").as("qid"), col("cid").as("qcell"), col("embedding").as("qe"))
+        .join(emb, cells("vid") === emb("vec_id"))
+        .select(col("vid").as("qid"), col("cid").as("qcell"), col("embedding").as("qe"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
       val cands = cells.join(emb, cells("vid") === emb("vec_id"))
-        .select(col("vid").as("nid"), col("cid").as("ncell"), col("embedding").as("ne"))
-      val cos = dot(col("qe"), col("ne")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne"))))
+        .select(col("vid").as("nid"), col("cid").as("ncell"), col("embedding").as("ne"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+      val cos = dot(col("qe"), col("ne")) / (col("qn") * col("nn"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
       qs.join(cands, col("qcell") === col("ncell") && col("qid") =!= col("nid"))
         .withColumn("cos6", round(cos, 6))
