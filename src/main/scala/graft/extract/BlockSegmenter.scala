@@ -22,9 +22,11 @@ object BlockSegmenter {
   private val dropTags = Set("nav", "footer", "aside", "form", "select", "button",
     "iframe", "noscript", "template", "svg", "head", "dialog", "menu")
 
-  /** class/id fragments that mark boilerplate containers. */
+  /** class/id fragments that mark boilerplate containers
+    * (case-insensitive so no per-element lowercase copy is needed). */
   private val dropClassRe = java.util.regex.Pattern.compile(
-    "(?:^|[-_ ])(?:nav|navbar|menu|footer|sidebar|cookie|banner|breadcrumbs?|share|social|related|widget|promo|ads?|advert(?:isement)?|comments?|popup|modal|subscribe|newsletter|pagination|masthead|skip)(?:[-_ ]|$)")
+    "(?:^|[-_ ])(?:nav|navbar|menu|footer|sidebar|cookie|banner|breadcrumbs?|share|social|related|widget|promo|ads?|advert(?:isement)?|comments?|popup|modal|subscribe|newsletter|pagination|masthead|skip)(?:[-_ ]|$)",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
 
   private val inlineTags = Set("a", "b", "strong", "i", "em", "u", "s", "span",
     "sup", "sub", "code", "small", "abbr", "cite", "time", "mark", "q", "var",
@@ -32,8 +34,11 @@ object BlockSegmenter {
 
   private def isBoiler(e: DomElem): Boolean = {
     if (dropTags.contains(e.tag)) return true
-    val cls = e.attrs.getOrElse("class", "") + " " + e.attrs.getOrElse("id", "")
-    cls.nonEmpty && dropClassRe.matcher(cls.toLowerCase).find()
+    if (e.attrs.isEmpty) return false
+    val cls = e.attrs.getOrElse("class", "")
+    val id = e.attrs.getOrElse("id", "")
+    (cls.nonEmpty && dropClassRe.matcher(cls).find()) ||
+      (id.nonEmpty && dropClassRe.matcher(id).find())
   }
 
   /** Deterministic per-doc id assignment replacing uuid4()[:5]

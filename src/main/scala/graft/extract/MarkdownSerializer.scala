@@ -248,13 +248,18 @@ object MarkdownSerializer {
 
   /** Document epilogue (markdown.py:367-396): trailing-space strip,
     * double-space collapse (not at line starts), blank-line squeeze, trim.
+    * Each regex is gated by a cheap scan — most serialized docs are
+    * already clean and the lookbehind scan showed up in profiles.
     */
-  def epilogue(md: String): String =
-    pBlanks.matcher(
-      pDoubleSp.matcher(
-        pTrailWs.matcher(md).replaceAll("")
-      ).replaceAll(" ")
-    ).replaceAll("\n\n").trim
+  def epilogue(md0: String): String = {
+    var md = md0
+    if (md.contains(" \n") || md.contains("\t\n") ||
+        md.endsWith(" ") || md.endsWith("\t"))
+      md = pTrailWs.matcher(md).replaceAll("")
+    if (md.contains("  ")) md = pDoubleSp.matcher(md).replaceAll(" ")
+    if (md.contains("\n\n\n")) md = pBlanks.matcher(md).replaceAll("\n\n")
+    md.trim
+  }
 }
 
 /** Splice span bodies back over their markers and compute final offsets.

@@ -59,16 +59,30 @@ object Postprocess {
 
   // ---- W3/W4: repeated-line slice removal ------------------------------
 
-  // precompiled patterns — replaceAll(String) recompiles its regex on
-  // every call, which dominated per-doc cost before this
-  private val pBold = java.util.regex.Pattern.compile("\\*\\*")
-  private val pDigits = java.util.regex.Pattern.compile("[0-9_]")
-
   /** Digit/underscore/bold-marker strip used before line comparison
-    * (`remove_numbers`, postprocessing.py:178-187).
+    * (`remove_numbers`, postprocessing.py:178-187). Single manual pass —
+    * this runs once per line of every document.
     */
-  def removeNumbers(line: String): String =
-    pDigits.matcher(pBold.matcher(line).replaceAll("")).replaceAll("").trim
+  def removeNumbers(line: String): String = {
+    var dirty = false
+    var i = 0
+    while (i < line.length && !dirty) {
+      val c = line.charAt(i)
+      if ((c >= '0' && c <= '9') || c == '_' ||
+          (c == '*' && i + 1 < line.length && line.charAt(i + 1) == '*')) dirty = true
+      i += 1
+    }
+    if (!dirty) return line.trim
+    val sb = new java.lang.StringBuilder(line.length)
+    i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '*' && i + 1 < line.length && line.charAt(i + 1) == '*') i += 1 // skip "**"
+      else if (!((c >= '0' && c <= '9') || c == '_')) sb.append(c)
+      i += 1
+    }
+    sb.toString.trim
+  }
 
   /** Similarity of two normalized lines: 1 - lev/maxLen (the reference
     * uses difflib ratio > 0.9; this spec freezes the Levenshtein form).
