@@ -52,9 +52,10 @@ object Bench {
     // north-rule scaling evidence inline (N vs 4N parallelism on the same
     // input; best of 2 interleaved rounds; JIT already warm from above)
     import graft.bench.ScalingBench
-    // fixed size regardless of sf: the measurement needs ≥5 s of work per
-    // run or fixed overheads (stage scheduling, session setup) dominate
-    val scalePages = 100000L
+    // fixed size regardless of sf: each runAt builds a fresh session
+    // whose codegen re-JITs, so short runs measure compilation, not the
+    // engine — size for ≥4 s of work at the fast level
+    val scalePages = 400000L
     val runs = (1 to 2).flatMap(_ => Seq(ScalingBench.runAt(8, scalePages), ScalingBench.runAt(32, scalePages)))
     val lo = runs.filter(_.cores == 8).map(_.docsPerSec).max
     val hi = runs.filter(_.cores == 32).map(_.docsPerSec).max

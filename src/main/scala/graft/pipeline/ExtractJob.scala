@@ -106,6 +106,9 @@ object ExtractJob {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // pages rows are KBs–MBs each; smaller scan splits keep per-task
+      // memory bounded and the heavy tail spread (SURVEY §4.3 spill note)
+      .config("spark.sql.files.maxPartitionBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -21,11 +21,14 @@ class QueriesSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val spark = SparkTestSession.spark
 
-  test("every registered query runs at sf0.001") {
+  /** Queries whose result can legitimately be empty at tiny scale. */
+  private val mayBeEmpty = Set("q04_antijoin_resume", "q22_jaccard_pairs")
+
+  test("every registered query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       val n = df.count()
-      withClue(s"$name:") { assert(n >= 0) }
+      withClue(s"$name:") { assert(n > 0 || mayBeEmpty.contains(name)) }
     }
   }
 
