@@ -43,17 +43,32 @@ object Postprocess {
       if (L < 0) p -= 1
     }
     if (L < 0) return s
-    // walk the period backwards to the first copy
-    var pos = n - L
-    while (pos - L >= 0 && s.regionMatches(true, pos - L, s, pos, L)) pos -= L
-    val keepEnd = pos + L // keep exactly one copy
-    // sentence-boundary extension (postprocessing.py:70-99 analog):
-    // cut at the last sentence end within the kept copy, if any ends
-    // after the copy starts; else keep the full single copy.
-    val tail = s.substring(pos, keepEnd)
-    val lastStop = math.max(tail.lastIndexOf(". "), math.max(tail.lastIndexOf(".\n"),
-      math.max(tail.lastIndexOf("! "), tail.lastIndexOf("? "))))
-    val cut = if (lastStop >= 0) pos + lastStop + 1 else keepEnd
+    // extend the periodic region char-wise to its true start: window-
+    // granular walking misses one period when the tail is phase-shifted
+    // (e.g. a trimmed trailing space), leaving two copies behind
+    var start = n - L
+    while (start > 0 &&
+           Character.toLowerCase(s.charAt(start - 1)) ==
+           Character.toLowerCase(s.charAt(start - 1 + L))) start -= 1
+    val keepEnd = start + L // one (possibly phase-shifted) copy
+    // sentence-boundary extension (postprocessing.py:70-99 analog): when
+    // the kept copy ends mid-sentence (phase shift into the preceding
+    // text), extend FORWARD to the next sentence end within one period.
+    def isEnder(c: Char) = c == '.' || c == '!' || c == '?'
+    val endsClean =
+      (keepEnd >= 1 && isEnder(s.charAt(keepEnd - 1))) ||
+      (keepEnd >= 2 && s.charAt(keepEnd - 1).isWhitespace && isEnder(s.charAt(keepEnd - 2)))
+    var cut = keepEnd
+    if (!endsClean) {
+      val lim = math.min(keepEnd + L, n)
+      var j = keepEnd
+      var found = -1
+      while (j < lim && found < 0) {
+        if (isEnder(s.charAt(j)) && (j + 1 >= n || s.charAt(j + 1).isWhitespace)) found = j + 1
+        j += 1
+      }
+      if (found >= 0) cut = found
+    }
     s.substring(0, cut).stripTrailing()
   }
 
