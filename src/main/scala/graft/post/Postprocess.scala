@@ -35,8 +35,13 @@ object Postprocess {
     var p = n - 2 * minLen          // candidate occurrence start (L = n - minLen - p)
     val pMin = n / 2 - minLen       // L ≤ n/2
     var L = -1
-    while (p >= pMin && p >= 0 && L < 0) {
+    // adversarial guard: a page where the 30-char suffix recurs densely
+    // but no period verifies would cost O(n²); cap full verifications
+    // (benign pages hit 0-2 candidates)
+    var attempts = 0
+    while (p >= pMin && p >= 0 && L < 0 && attempts < 64) {
       if (s.regionMatches(true, p, s, n - minLen, minLen)) {
+        attempts += 1
         val cand = n - minLen - p
         if (s.regionMatches(true, n - cand, s, n - 2 * cand, cand)) L = cand
       }
