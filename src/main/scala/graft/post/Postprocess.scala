@@ -36,8 +36,9 @@ object Postprocess {
     val pMin = n / 2 - minLen       // L ≤ n/2
     var L = -1
     // adversarial guard: a page where the 30-char suffix recurs densely
-    // but no period verifies would cost O(n²); cap full verifications
-    // (benign pages hit 0-2 candidates)
+    // (self-periodic runs like '---…' separators) would cost O(n²) in
+    // verifications; after a bounded number of candidates, switch to the
+    // exact O(n) Z-array method instead of giving up (no recall loss)
     var attempts = 0
     while (p >= pMin && p >= 0 && L < 0 && attempts < 64) {
       if (s.regionMatches(true, p, s, n - minLen, minLen)) {
@@ -47,14 +48,13 @@ object Postprocess {
       }
       if (L < 0) p -= 1
     }
+    if (L < 0 && attempts >= 64) L = exactSuffixPeriod(s, minLen)
     if (L < 0) return s
     // extend the periodic region char-wise to its true start: window-
     // granular walking misses one period when the tail is phase-shifted
     // (e.g. a trimmed trailing space), leaving two copies behind
     var start = n - L
-    while (start > 0 &&
-           Character.toLowerCase(s.charAt(start - 1)) ==
-           Character.toLowerCase(s.charAt(start - 1 + L))) start -= 1
+    while (start > 0 && foldEq(s.charAt(start - 1), s.charAt(start - 1 + L))) start -= 1
     val keepEnd = start + L // one (possibly phase-shifted) copy
     // sentence-boundary extension (postprocessing.py:70-99 analog): when
     // the kept copy ends mid-sentence (phase shift into the preceding
@@ -75,6 +75,49 @@ object Postprocess {
       if (found >= 0) cut = found
     }
     s.substring(0, cut).stripTrailing()
+  }
+
+  /** Case folding matching String.regionMatches(ignoreCase=true):
+    * upper-then-lower (plain toLowerCase disagrees for e.g. 'I'/'ı'). */
+  private def foldEq(a: Char, b: Char): Boolean = {
+    if (a == b) return true
+    val ua = Character.toUpperCase(a); val ub = Character.toUpperCase(b)
+    ua == ub || Character.toLowerCase(ua) == Character.toLowerCase(ub)
+  }
+
+  /** Exact smallest case-insensitive suffix period L ∈ [minLen, n/2]
+    * (s ends with two adjacent copies of an L-chunk), via the Z-array of
+    * the reversed folded string — O(n) fallback for candidate-dense
+    * pages where the heuristic scan would be quadratic. Returns -1 if
+    * no period exists.
+    */
+  private def exactSuffixPeriod(s: String, minLen: Int): Int = {
+    val n = s.length
+    val r = new Array[Char](n)
+    var i = 0
+    while (i < n) { // reversed, regionMatches-compatible fold
+      r(i) = Character.toLowerCase(Character.toUpperCase(s.charAt(n - 1 - i)))
+      i += 1
+    }
+    // Z-array: z(k) = lcp(r, r[k..])
+    val z = new Array[Int](n)
+    var l = 0; var rr = 0
+    var k = 1
+    while (k < n) {
+      var zk = 0
+      if (k < rr) zk = math.min(rr - k, z(k - l))
+      while (k + zk < n && r(zk) == r(k + zk)) zk += 1
+      if (k + zk > rr) { l = k; rr = k + zk }
+      z(k) = zk
+      k += 1
+    }
+    var L = minLen
+    val maxL = n / 2
+    while (L <= maxL) {
+      if (z(L) >= L) return L
+      L += 1
+    }
+    -1
   }
 
   // ---- W3/W4: repeated-line slice removal ------------------------------

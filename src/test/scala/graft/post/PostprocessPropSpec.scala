@@ -37,6 +37,19 @@ class PostprocessPropSpec extends AnyFunSuite {
     })
   }
 
+  test("candidate-dense self-periodic suffix still truncates (Z-array fallback)") {
+    // a repeating unit containing a long dash run: the 30-char suffix
+    // recurs at >64 offsets with failing verifies; the exact fallback
+    // must still find the true unit period
+    val unit = "data | " + ("-" * 200) + " x " + ("-" * 45)
+    val s = "Intro paragraph stays here. " + (unit + " ") * 3
+    val out = Postprocess.truncateRepetitions(s.stripTrailing())
+    assert(out.length < s.stripTrailing().length)
+    assert(out.startsWith("Intro paragraph stays here."))
+    // exactly one copy of the unit survives
+    assert(out.sliding(unit.length).count(_ == unit) == 1)
+  }
+
   test("property: closeEnvs balances every tracked environment") {
     val env = Gen.oneOf("tabular", "table", "matrix", "bmatrix", "pmatrix")
     val frag = Gen.oneOf(
