@@ -92,6 +92,7 @@ object BlockSegmenter {
       e.children.foreach {
         case t: DomText => if (t.text.exists(!_.isWhitespace)) run += t else if (run.nonEmpty) run += t
         case el: DomElem if isBoiler(el) =>
+          flushRun() // a dropped subtree is still a block boundary
           if (el.tag == "head" || el.tag == "template" || el.tag == "svg" || el.tag == "noscript") ()
           else dropped += math.max(1, countCandidates(el))
         case el: DomElem if el.tag == "header" =>
@@ -150,7 +151,8 @@ object BlockSegmenter {
         if (inner.nonEmpty) emit(BQuote(inner), true)
       case "pre" =>
         val txt = rawText(el)
-        if (txt.exists(!_.isWhitespace)) emit(BCode(txt.stripLineEnd), true)
+        if (txt.exists(!_.isWhitespace))
+          emit(BCode(txt.stripLineEnd, ids.next("code", el.attr("id"))), true)
       case "hr" => emit(BRule(), true)
       case "dl" =>
         val items = buildDefList(el, ids)
@@ -279,6 +281,13 @@ object BlockSegmenter {
             out += IMath(tex, e.attr("display").contains("block"), ids.next("eq", e.attr("id")))
           }
         case "img" | "script" | "style" | "select" | "option" | "input" | "textarea" => ()
+        case t if blockishInline.contains(t) =>
+          // block-level element encountered in an inline context (e.g.
+          // <p> inside <li>): separate with line breaks so words from
+          // adjacent blocks never concatenate
+          if (out.nonEmpty && out.last != ITxt("\n")) out += ITxt("\n")
+          rec(e.children)
+          if (out.nonEmpty && out.last != ITxt("\n")) out += ITxt("\n")
         case _ if isMathElem(e) =>
           mathTex(e).foreach { tex =>
             val disp = e.classes.exists(_.toLowerCase.contains("display")) ||
@@ -294,6 +303,13 @@ object BlockSegmenter {
     rec(nodes)
     out.toVector
   }
+
+  /** Block-level tags that may appear under an inline-collection context
+    * (list items, table cells, definitions). */
+  private val blockishInline = Set("p", "div", "blockquote", "section", "article",
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl", "dt", "dd",
+    "table", "tr", "td", "th", "thead", "tbody", "tfoot", "pre",
+    "header", "footer", "figure", "figcaption", "form", "address")
 
   private def isFootnoteElem(e: DomElem): Boolean =
     e.attr("role").contains("doc-footnote") ||

@@ -22,7 +22,7 @@ sealed trait Block
 final case class BPara(inlines: Vector[Inline]) extends Block
 final case class BHeader(level: Int, inlines: Vector[Inline]) extends Block
 final case class BQuote(blocks: Vector[Block]) extends Block
-final case class BCode(text: String) extends Block
+final case class BCode(text: String, id: String) extends Block
 final case class BRule() extends Block
 final case class BList(ordered: Boolean, items: Vector[Vector[Block]]) extends Block
 final case class BFigure(id: String, caption: Vector[Inline]) extends Block

@@ -139,7 +139,9 @@ object MarkdownSerializer {
           while (ci < ncols && pending(ci) > 0) { pending(ci) -= 1; cells += ""; ci += 1 }
         row.foreach { c =>
           fillPlaceholders()
-          val content0 = inl(c.inlines, spans = false).trim
+          // escape bare '&' in cell prose: it is the tabular column
+          // separator (latex_escape analog, markdown.py:18-36)
+          val content0 = escapeAmp(inl(c.inlines, spans = false).trim)
           val content = if (c.header && content0.nonEmpty) "\\bf " + content0 else content0
           val withRs = if (c.rowspan > 1) s"\\multirow{${c.rowspan}}{*}{$content}" else content
           cells += (if (c.colspan > 1) s"\\multicolumn{${c.colspan}}{${c.align}}{$withRs}" else withRs)
@@ -169,7 +171,10 @@ object MarkdownSerializer {
       case BQuote(bs) =>
         bs.map(block(_, depth)).filter(_.nonEmpty)
           .mkString("\n\n").linesIterator.map(l => if (l.isEmpty) ">" else "> " + l).mkString("\n")
-      case BCode(text) => "```\n" + text + "\n```"
+      case BCode(text, id) =>
+        // verbatim content rides the span-marker channel so postprocess
+        // whitespace stages can never reformat a code fence interior
+        marker("code", id, "```\n" + text + "\n```")
       case BRule() => "---"
       case l: BList => list(l, 0)
       case BDefList(items) =>
@@ -242,6 +247,10 @@ object MarkdownSerializer {
     lead + mark + core + mark + trail
   }
 
+  private val pBareAmp = java.util.regex.Pattern.compile("(?<!\\\\)&")
+  private def escapeAmp(s: String): String =
+    if (s.indexOf('&') < 0) s else pBareAmp.matcher(s).replaceAll("\\\\&")
+
   private val pTrailWs = java.util.regex.Pattern.compile("(?m)[ \t]+$")
   private val pDoubleSp = java.util.regex.Pattern.compile("(?<=\\S) {2,}")
   private val pBlanks = java.util.regex.Pattern.compile("\n{3,}")
@@ -271,7 +280,9 @@ object SpanReinserter {
   import MarkdownSerializer.{SpanBody, Serialized}
   import graft.core.Span
 
-  private val markerRe = java.util.regex.Pattern.compile("\uE000(\\d+)\uE001")
+  // index capped at 8 digits: even if a forged sequence survived input
+  // sanitization, the parse below can never overflow Int
+  private val markerRe = java.util.regex.Pattern.compile("\uE000(\\d{1,8})\uE001")
 
   def reinsert(s: Serialized): (String, Vector[Span]) = reinsert(s.markdown, s.bodies)
 

@@ -30,7 +30,9 @@ object DomBuilder {
     "address", "article", "aside", "blockquote", "details", "div", "dl",
     "fieldset", "figcaption", "figure", "footer", "form",
     "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "main", "menu",
-    "nav", "ol", "p", "pre", "section", "table", "ul")
+    "nav", "ol", "p", "pre", "section", "table", "ul",
+    // li/dt/dd start tags also imply </p> (WHATWG button-scope rule)
+    "li", "dt", "dd")
 
   /** Does opening `incoming` implicitly close an open `top`? */
   private def impliedEnd(top: String, incoming: String): Boolean = top match {
@@ -95,10 +97,15 @@ object DomBuilder {
           }
 
         case EndTag(name) =>
-          // find nearest open frame with this tag (skip #root at idx 0)
-          var idx = stack.length - 1
-          while (idx >= 1 && stack(idx).tag != name) idx -= 1
-          if (idx >= 1) while (stack.length > idx) closeTop()
+          // </body> and </html> never close their frames: browsers route
+          // trailing content back into body ("after body" insertion
+          // mode), and closing here would silently drop it
+          if (name != "body" && name != "html") {
+            // find nearest open frame with this tag (skip #root at idx 0)
+            var idx = stack.length - 1
+            while (idx >= 1 && stack(idx).tag != name) idx -= 1
+            if (idx >= 1) while (stack.length > idx) closeTop()
+          }
         // unmatched end tag: ignored
       }
     }

@@ -52,15 +52,19 @@ object Entities {
   /** Legacy entities valid without a trailing semicolon, longest first. */
   private val legacy: List[String] = List("quot", "nbsp", "amp", "lt", "gt")
 
-  /** Decode all character references in `s`. Never throws. */
-  def decode(s: String): String = {
+  /** Decode all character references in `s`. Never throws.
+    * `inAttr` enables WHATWG attribute-mode rules: legacy no-semicolon
+    * entities are NOT decoded when followed by [A-Za-z0-9=] (otherwise
+    * URLs like "?x=1&gte=5" would be corrupted).
+    */
+  def decode(s: String, inAttr: Boolean = false): String = {
     var i = s.indexOf('&')
     if (i < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     while (i >= 0 && i < s.length) {
       sb.append(s, last, i)
-      val (rep, next) = decodeAt(s, i)
+      val (rep, next) = decodeAt(s, i, inAttr)
       sb.append(rep)
       last = next
       i = s.indexOf('&', next)
@@ -69,10 +73,21 @@ object Entities {
     sb.toString
   }
 
+  /** windows-1252 mapping for numeric refs in 0x80–0x9F (WHATWG treats
+    * these as cp1252 bytes, not C1 controls — '&#146;' means '’').
+    */
+  private val cp1252: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„", 0x85 -> "…",
+    0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ", 0x89 -> "‰", 0x8A -> "Š",
+    0x8B -> "‹", 0x8C -> "Œ", 0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’",
+    0x93 -> "“", 0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+    0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›", 0x9C -> "œ",
+    0x9E -> "ž", 0x9F -> "Ÿ")
+
   /** Decode one reference starting at s(pos)=='&'. Returns (replacement,
     * index after the consumed chars); on no match returns ("&", pos+1).
     */
-  private def decodeAt(s: String, pos: Int): (String, Int) = {
+  private def decodeAt(s: String, pos: Int, inAttr: Boolean): (String, Int) = {
     val n = s.length
     if (pos + 1 >= n) return ("&", pos + 1)
     if (s.charAt(pos + 1) == '#') {
@@ -89,6 +104,8 @@ object Entities {
       val end = if (i < n && s.charAt(i) == ';') i + 1 else i
       if (code <= 0 || code > 0x10ffff || (code >= 0xd800 && code <= 0xdfff)) ("�", end)
       else if (code == 0xa0) (" ", end) // NBSP → space (see header)
+      else if (code >= 0x80 && code <= 0x9f) (cp1252.getOrElse(code.toInt, ""), end)
+      else if (code == 0xE000 || code == 0xE001) ("", end) // reserved span markers
       else (new String(Character.toChars(code.toInt)), end)
     } else {
       var i = pos + 1
@@ -100,9 +117,14 @@ object Entities {
         case Some(rep) if i < n && s.charAt(i) == ';' => (rep, i + 1)
         case _ =>
           // WHATWG legacy: a known no-semicolon entity matches as the
-          // longest prefix ("&ltd" → "<d").
+          // longest prefix ("&ltd" → "<d") — but NOT in attributes when
+          // followed by [A-Za-z0-9=] (would corrupt URL query params).
           legacy.collectFirst {
-            case l if name.startsWith(l) => (named(l), start + l.length)
+            case l if name.startsWith(l) &&
+              !(inAttr && {
+                val after = start + l.length
+                after < n && (Character.isLetterOrDigit(s.charAt(after)) || s.charAt(after) == '=')
+              }) => (named(l), start + l.length)
           }.getOrElse(("&", pos + 1))
       }
     }

@@ -91,11 +91,14 @@ object HtmlTokenizer {
           tag match {
             case Some(st) =>
               out += st
-              if (!st.selfClosing && rawSkip.contains(st.name)) {
+              // NB: the self-closing flag is IGNORED for raw-text
+              // elements per the HTML spec — <script/> still consumes
+              // everything up to </script>
+              if (rawSkip.contains(st.name)) {
                 i = skipRawText(html, i, st.name)
                 out += EndTag(st.name)
                 textStart = i
-              } else if (!st.selfClosing && rawKeep.contains(st.name)) {
+              } else if (rawKeep.contains(st.name)) {
                 val end = findRawEnd(html, i, st.name)
                 val t = cleanText(Entities.decode(html.substring(i, end._1)))
                 if (t.nonEmpty) out += TextTok(t)
@@ -168,7 +171,7 @@ object HtmlTokenizer {
             }
           }
           if (aName.nonEmpty && !attrs.exists(_._1 == aName)) // first occurrence wins
-            attrs += ((aName, Entities.decode(aVal)))
+            attrs += ((aName, sanitizeAttr(Entities.decode(aVal, inAttr = true))))
       }
     }
     if (!done && i >= n) (None, n)
@@ -180,6 +183,14 @@ object HtmlTokenizer {
   }
 
   private def isWs(c: Char): Boolean = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** Attribute values can reach the markdown verbatim (hrefs), so the
+    * reserved span-marker chars must be stripped here too — otherwise
+    * page content could forge a marker (see MarkdownSerializer).
+    */
+  private def sanitizeAttr(v: String): String =
+    if (v.indexOf('\uE000') < 0 && v.indexOf('\uE001') < 0) v
+    else v.filterNot(c => c == '\uE000' || c == '\uE001')
 
   /** Find the matching `</name` for a raw-text element; returns index of
     * the '<' (content end). Tolerates EOF.

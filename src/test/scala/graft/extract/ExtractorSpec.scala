@@ -217,6 +217,38 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Postprocess.killPathologicalTables(bad + good) == good)
   }
 
+  test("review regressions: marker forging, block-in-inline, after-body, cp1252, amp cells") {
+    // 1. span markers cannot be forged via attribute entities
+    val forge = doc("<body><p>Click <a href=\"https://e.com/&#xE000;99999999999&#xE001;x\">here</a> for the thing.</p></body>")
+    assert(forge.ok && !forge.markdown.exists(c => c == '' || c == ''))
+    // 2. block elements inside a list item keep word boundaries
+    assert(md("<body><ul><li><p>one</p><p>two</p></li></ul></body>") == "* one\ntwo")
+    // 3. <li> implies </p>
+    val li = md("<body><ul><li><p>One item here<li>Two item here</ul></body>")
+    assert(li.contains("* One item here") && li.contains("* Two item here"))
+    // 4. content after a stray </body> survives
+    assert(md("<body><p>Before text stays.</p></body></html><div><p>After text stays too.</p></div>")
+      .contains("After text stays too."))
+    // 5. windows-1252 numeric refs
+    assert(md("<body><p>it&#146;s here, fine.</p></body>") == "it’s here, fine.")
+    // 6. '&' in table cells escaped (column count preserved)
+    val t = doc("<body><table><tr><td>AT&amp;T</td><td>x</td></tr></table></body>")
+    assert(t.spans.head.body.contains("AT\\&T & x"))
+    // 7. attribute legacy entities not decoded before '='
+    val url = doc("<body><p>See <a href=\"https://e.com/?a=1&gte=5\">link text</a> for details about the query thing please.</p></body>")
+    assert(url.markdown.contains("https://e.com/?a=1&gte=5"))
+    // 8. <pre> interior protected from whitespace normalization
+    val pre = doc("<body><pre>x  = 1\ny  = 2</pre><p>Paragraph after, kept.</p></body>")
+    assert(pre.markdown.contains("x  = 1\ny  = 2"))
+    assert(pre.spans.exists(_.kind == "code"))
+    // 9. boilerplate drop is a block boundary
+    assert(md("<body><div>Hello before, kept.<aside>ad copy</aside>World after, kept.</div></body>")
+      == "Hello before, kept.\n\nWorld after, kept.")
+    // 10. <script/> self-closing still consumes raw content
+    assert(!md("<body><script/>var tracker = 1;</script><p>Real content here.</p></body>")
+      .contains("tracker"))
+  }
+
   test("determinism: same input → byte-identical output, 3 runs") {
     val h = "<body><h1>T</h1><p>Para with <b>bold</b>, x<sup>2</sup> and a <a href='https://e.io'>link</a>.</p>" +
       "<math alttext='a \\le b'></math></body>"
