@@ -16,8 +16,10 @@ object TextMetrics {
     if (m == 0) 0.0 else Distance.levenshtein(a, b).toDouble / m
   }
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   def tokenize(s: String): Array[String] =
-    s.trim.split("\\s+").filter(_.nonEmpty)
+    wsPattern.split(s.trim).filter(_.nonEmpty)
 
   /** Multiset token precision/recall/F1 (metrics.py:34-43 semantics:
     * strings shorter than 4 chars total → all-zero, like the reference's

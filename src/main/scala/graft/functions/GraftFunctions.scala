@@ -47,12 +47,19 @@ case class TruncateRepetitions(child: Expression)
 }
 
 object GraftFunctions {
+  private def unary(name: String, mk: Expression => Expression)(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${exprs.length}")
+    mk(exprs.head)
+  }
+
   /** Idempotent session registration of the SQL surface. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("extract_markdown",
-      exprs => ExtractMarkdown(exprs.head), "built-in")
+      unary("extract_markdown", ExtractMarkdown(_)), "built-in")
     reg.createOrReplaceTempFunction("truncate_repetitions",
-      exprs => TruncateRepetitions(exprs.head), "built-in")
+      unary("truncate_repetitions", TruncateRepetitions(_)), "built-in")
   }
 }

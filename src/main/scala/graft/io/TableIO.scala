@@ -26,15 +26,25 @@ object TableIO {
   def metricsPath(root: String) = s"$root/metrics"
 
   def nextBatchId(root: String): String = {
+    // max(existing)+1, NOT count+1: a retention-deleted batch must never
+    // cause an id collision with a surviving one
     val d = Paths.get(dataPath(root))
-    val existing =
+    val maxId =
       if (!Files.isDirectory(d)) 0
       else {
         val s = Files.list(d)
-        try s.filter(p => p.getFileName.toString.startsWith("batch=")).count().toInt
-        finally s.close()
+        try {
+          val it = s.iterator()
+          var m = 0
+          while (it.hasNext) {
+            val name = it.next().getFileName.toString
+            if (name.startsWith("batch=b"))
+              name.stripPrefix("batch=b").toIntOption.foreach(v => m = math.max(m, v))
+          }
+          m
+        } finally s.close()
       }
-    f"b${existing + 1}%05d"
+    f"b${maxId + 1}%05d"
   }
 
   def clearStaging(root: String): Unit = {
@@ -62,12 +72,23 @@ object TableIO {
     }
   }
 
-  def appendMetrics(df: DataFrame, root: String, batchId: String): Unit =
-    df.write.mode("overwrite").parquet(s"${metricsPath(root)}/batch=$batchId")
+  /** Metrics get the same stage-then-rename atomicity as data: a killed
+    * write must never leave a half-dir that poisons readMetrics.
+    */
+  def appendMetrics(df: DataFrame, root: String, batchId: String): Unit = {
+    val staging = s"$root/.staging/metrics-$batchId"
+    df.write.mode("overwrite").parquet(staging)
+    val to = Paths.get(s"${metricsPath(root)}/batch=$batchId")
+    Files.createDirectories(to.getParent)
+    Files.move(Paths.get(staging), to, StandardCopyOption.ATOMIC_MOVE)
+  }
 
   def readMetrics(spark: SparkSession, root: String): Option[DataFrame] = {
     val d = Paths.get(metricsPath(root))
-    if (Files.isDirectory(d)) Some(spark.read.parquet(metricsPath(root))) else None
+    if (!Files.isDirectory(d)) return None
+    val s = Files.list(d)
+    val has = try s.anyMatch(p => p.getFileName.toString.startsWith("batch=")) finally s.close()
+    if (has) Some(spark.read.parquet(metricsPath(root))) else None
   }
 
   private def deleteRecursively(p: Path): Unit = {

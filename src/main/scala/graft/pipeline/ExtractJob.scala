@@ -79,7 +79,11 @@ object ExtractJob {
     val mRows = metrics.as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
     val totals = (mRows.map(_._2).sum, mRows.map(_._4).sum)
 
-    val inputN = pages.count()
+    // input size: the synthetic spec knows its count, and a parquet
+    // count is footer metadata — never re-run the generation plan
+    val inputN =
+      if (pagesSpec.startsWith("synthetic:")) pagesSpec.stripPrefix("synthetic:").toLong
+      else spark.read.parquet(pagesSpec).count()
     if (totals._1 == 0) { // fully resumed: nothing to publish
       TableIO.clearStaging(outDir)
       Summary("-", inputN, 0, 0, inputN, (System.nanoTime() - t0) / 1e9)

@@ -34,33 +34,49 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Custom session state via flatMapGroupsWithState: a user's session
-    * closes after `gapMs` of inactivity (processing-time flush for the
-    * batch-driven tests; the W6 rolling-state shape).
+    * closes after `gapMs` of inactivity — either when a later event
+    * arrives past the gap, or when the processing-time timeout fires
+    * (so idle users' final sessions are emitted and their state removed,
+    * bounding the state store; the W6 rolling-state shape).
+    * Late events merge without rewinding session boundaries.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (userId: Long, it: Iterator[Event], state: GroupState[Session]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last_ms <= gapMs =>
-                cur = Some(s.copy(n_events = s.n_events + 1,
-                  total_value = s.total_value + e.value, last_ms = t))
-              case Some(s) =>
-                out += s // gap exceeded: emit closed session
-                cur = Some(Session(userId, 1, e.value, t, t))
-              case None =>
-                cur = Some(Session(userId, 1, e.value, t, t))
+          if (state.hasTimedOut) {
+            // idle past the gap: flush and free the state
+            val done = state.getOption
+            state.remove()
+            done.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last_ms <= gapMs =>
+                  // merge; a LATE event must not rewind the boundaries
+                  cur = Some(s.copy(n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value,
+                    started_ms = math.min(s.started_ms, t),
+                    last_ms = math.max(s.last_ms, t)))
+                case Some(s) =>
+                  out += s // gap exceeded: emit closed session
+                  cur = Some(Session(userId, 1, e.value, t, t))
+                case None =>
+                  cur = Some(Session(userId, 1, e.value, t, t))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
         })
   }
 }
