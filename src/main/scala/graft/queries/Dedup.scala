@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * bit-exact DuckDB oracle — including the candidate-pair generation.
   *
   * Scale notes: exact dedup is one shuffle on the content hash; MinHash/
-  * SimHash signatures are narrow map-only projections; LSH buckets
-  * shuffle on (band, key) — the standard shingle→minhash→band→bucket-join
-  * plan; Jaccard verification is blocked on (lang, n_chars) to keep the
-  * candidate join bounded.
+  * SimHash signatures are narrow map-only projections (SimHash is one
+  * row-local `aggregate` fold); LSH buckets shuffle on (band, key) — the
+  * standard shingle→minhash→band→bucket-join plan; Jaccard verification
+  * consumes the LSH buckets as its candidate pairs, so its join fan-out
+  * is bounded by bucket size, not block size.
   */
 object Dedup {
 
@@ -106,18 +107,25 @@ object Dedup {
     """.trim)
   )
 
+  /** One projection + posexplode of the band-key array: the signature
+    * flatMap runs ONCE per row (a 4-way unionAll of `sig` would re-run the
+    * typed map per branch — 4× the shingle work for the same rows).
+    */
+  private def bandsDf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array(
+        col("mh0") * P + col("mh1"),
+        col("mh2") * P + col("mh3"),
+        col("mh4") * P + col("mh5"),
+        col("mh6") * P + col("mh7"))).as(Seq("band", "bkey")))
+
   /** LSH: 4 bands × 2 rows over the 8 minhashes on the duplicated corpus;
     * collided buckets (n_docs > 1) are the near-dup candidate groups.
     */
   val q20LshBuckets = QueryDef(
     "q20_lsh_buckets",
     (s, dir) => {
-      val sig = sigDf(s, dupCorpus(s, dir))
-      val bands = (0 until 4).map { b =>
-        sig.select(lit(b).as("band"),
-          (col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")).as("bkey"),
-          col("doc_id"))
-      }.reduce(_ unionAll _)
+      val bands = bandsDf(sigDf(s, dupCorpus(s, dir)))
       bands.groupBy("band", "bkey")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .filter(col("n_docs") > 1)
@@ -140,20 +148,31 @@ object Dedup {
     """.trim)
   )
 
-  /** 16-bit SimHash: per-bit signed votes over word features. */
+  /** 16-bit SimHash: per-bit signed votes over word features. The whole
+    * signature is a single row-local ordered fold (`aggregate` HOF over
+    * the token array with a 16-slot vote accumulator) — zero shuffles,
+    * zero row blowup; the only Exchange in the plan is the final orderBy.
+    */
   val q21Simhash = QueryDef(
     "q21_simhash",
     (s, dir) => {
-      val w = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .select(col("doc_id"), wordFeature(col("w")).as("f"))
-        .select(col("doc_id"), col("f"), explode(sequence(lit(0), lit(15))).as("i"))
-      val p2 = pow(lit(2.0), col("i")).cast("long")
-      val bit = pmod(floor(col("f").cast("double") / p2).cast("long"), lit(2L))
-      w.groupBy("doc_id", "i")
-        .agg(sum(when(bit === 1, 1).otherwise(-1)).as("s"), first(p2).as("p2"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, col("p2")).otherwise(0L)).as("simhash"))
+      val bits = sequence(lit(0), lit(15))
+      val votes = aggregate(
+        tokens(col("text")),
+        array_repeat(lit(0L), 16),
+        (acc, w) => {
+          val f = wordFeature(w)
+          zip_with(acc, bits, (a, i) => {
+            val p2 = pow(lit(2.0), i).cast("long")
+            val bit = pmod(floor(f.cast("double") / p2).cast("long"), lit(2L))
+            a + when(bit === 1, 1L).otherwise(-1L)
+          })
+        })
+      val sim = aggregate(
+        zip_with(votes, bits, (v, i) => when(v > 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), sim.as("simhash"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -166,34 +185,52 @@ object Dedup {
     """.trim)
   )
 
-  /** Blocked token-set Jaccard: candidate pairs share (lang, n_chars);
-    * emits exact integer intersection/union plus a permille score.
+  /** Token-set Jaccard verification over the LSH candidate pairs: the
+    * standard dedup chain shingle→minhash→band→bucket→verify. Candidates
+    * are documents sharing at least one (band, bkey) bucket — so the
+    * verifier sees exactly the near-dups LSH proposes (an equi-block on
+    * metadata like (lang, n_chars) would MISS any near-dup whose length
+    * differs by one char). Bucket sizes bound the self-join fan-out.
     */
   val q22JaccardPairs = QueryDef(
     "q22_jaccard_pairs",
     (s, dir) => {
-      val t = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-                array_distinct(tokens(col("text"))).as("tk"))
-      val a = t.select(col("doc_id").as("id1"), col("lang"), col("n_chars"), col("tk").as("tk1"))
-      val b = t.select(col("doc_id").as("id2"), col("lang"), col("n_chars"), col("tk").as("tk2"))
-      a.join(b, Seq("lang", "n_chars"))
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val bands = bandsDf(sigDf(s, d))
+      val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
+        .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2")), Seq("band", "bkey"))
         .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val t = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+      cand
+        .join(t.select(col("doc_id").as("id1"), col("tk").as("tk1")), "id1")
+        .join(t.select(col("doc_id").as("id2"), col("tk").as("tk2")), "id2")
         .select(col("id1"), col("id2"),
           size(array_intersect(col("tk1"), col("tk2"))).as("inter"),
           (size(col("tk1")) + size(col("tk2")) - size(array_intersect(col("tk1"), col("tk2")))).as("uni"))
         .withColumn("jmilli", floor(col("inter") * 1000 / col("uni")).cast("long"))
         .orderBy("id1", "id2")
     },
-    Some("""
-      WITH t AS (SELECT doc_id, lang, n_chars,
-                        list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
-                 FROM documents),
-      p AS (SELECT t1.doc_id AS id1, t2.doc_id AS id2,
+    Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      s AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM t WHERE len(tk) >= 3),
+      sig AS (SELECT doc_id,
+             ${minhashSqlCols("sh")}
+      FROM s WHERE len(sh) > 0),
+      bands AS (
+        SELECT 0 AS band, mh0 * $P + mh1 AS bkey, doc_id FROM sig UNION ALL
+        SELECT 1, mh2 * $P + mh3, doc_id FROM sig UNION ALL
+        SELECT 2, mh4 * $P + mh5, doc_id FROM sig UNION ALL
+        SELECT 3, mh6 * $P + mh7, doc_id FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      tt AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tk
+             FROM documents),
+      p AS (SELECT id1, id2,
                    len(list_filter(t1.tk, x -> list_contains(t2.tk, x))) AS inter,
                    len(t1.tk) AS n1, len(t2.tk) AS n2
-            FROM t t1 JOIN t t2 ON t1.lang = t2.lang AND t1.n_chars = t2.n_chars
-                      AND t1.doc_id < t2.doc_id)
+            FROM cand JOIN tt t1 ON id1 = t1.doc_id JOIN tt t2 ON id2 = t2.doc_id)
       SELECT id1, id2, CAST(inter AS INT) AS inter, CAST(n1 + n2 - inter AS INT) AS uni,
              CAST((1000 * inter) // (n1 + n2 - inter) AS BIGINT) AS jmilli
       FROM p ORDER BY id1, id2

@@ -216,7 +216,7 @@ object Relational {
     },
     Some("""
       SELECT user_id, count(*) AS n_events,
-             sum(CASE WHEN next_type = event_type THEN 1 ELSE 0 END) AS n_repeats
+             CAST(sum(CASE WHEN next_type = event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
       FROM (SELECT user_id, event_type,
                    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
             FROM events) t

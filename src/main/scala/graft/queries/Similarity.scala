@@ -22,6 +22,45 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The coarse quantizer as ONE broadcastable row: cells are the first
+    * k vectors (deterministic "sample"), packed into a sorted
+    * array<struct<cid, ce>> so assignment is a row-local fold — no
+    * explode, no join-per-dimension, zero shuffle on the corpus side.
+    * k ~ √n keeps cell population ~√n (the IVF balance point); at real
+    * scale k is a trained codebook of bounded size, same plan shape.
+    */
+  private def centroidArray(e: org.apache.spark.sql.DataFrame, k: Long) =
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("ce"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+
+  /** Top-2 nearest cells per row via an ordered fold over the centroid
+    * array: distances rounded to 6 decimals, ties broken by ascending cid
+    * (the fold visits cids in ascending order and replaces only on strict
+    * improvement) — bit-identical to a (d26 ASC, cid ASC) window rank.
+    */
+  private def top2Cells(emb: Column, cents: Column): Column = {
+    val z = struct(
+      lit(Double.MaxValue).as("d1"), lit(Long.MaxValue).as("c1"),
+      lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("c2"))
+    aggregate(cents, z, (acc, c) => {
+      val dd = round(sqDist(emb, c.getField("ce")), 6)
+      val cid = c.getField("cid")
+      when(dd < acc.getField("d1"),
+        struct(dd.as("d1"), cid.as("c1"),
+               acc.getField("d1").as("d2"), acc.getField("c1").as("c2")))
+        .when(dd < acc.getField("d2"),
+          struct(acc.getField("d1").as("d1"), acc.getField("c1").as("c1"),
+                 dd.as("d2"), cid.as("c2")))
+        .otherwise(acc)
+    })
+  }
+
   val q23CosineTopk = QueryDef(
     "q23_cosine_topk",
     (s, dir) => {
@@ -120,32 +159,53 @@ object Similarity {
     """.trim)
   )
 
-  /** Embedding-cosine near-duplicate detection, blocked by label (the
-    * IVF-style candidate restriction): the most-similar pair within each
-    * label bucket — O(Σ b²) instead of O(n²) over the corpus.
+  /** Embedding-cosine near-duplicate detection, blocked by IVF cell (not
+    * by a data label): every vector is assigned to its nearest of
+    * k = ⌈√n⌉ coarse cells by a row-local fold, then the all-pairs search
+    * runs within cells only — O(Σ b²) with b ~ √n, so the largest block
+    * SHRINKS relative to the corpus as it grows (a hot metadata label
+    * would not). Assignment is map-only against a broadcast centroid row;
+    * the one count() is a single scalar for the cell parameter.
     */
   val q31EmbedNeardup = QueryDef(
     "q31_embed_neardup",
     (s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      val cents = broadcast(centroidArray(e, k))
       // norms hoisted BEFORE the join: the exchange materializes them
       // once per vector instead of once per candidate pair
-      val a = e.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("n1"))
-      val b = e.select(col("label"), col("vec_id").as("v2"), col("embedding").as("e2"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("n2"))
+      val assigned = e.crossJoin(cents)
+        .withColumn("best", top2Cells(col("embedding"), col("cents")))
+        .select(col("best").getField("c1").as("cell"), col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist()
+      val a = assigned.select(col("cell"), col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"))
+      val b = assigned.select(col("cell"), col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2"))
       val cos = dot(col("e1"), col("e2")) / (col("n1") * col("n2"))
-      val w = Window.partitionBy(col("label")).orderBy(col("cos6").desc, col("v1").asc, col("v2").asc)
-      a.join(b, Seq("label")).filter(col("v1") < col("v2"))
+      val w = Window.partitionBy(col("cell")).orderBy(col("cos6").desc, col("v1").asc, col("v2").asc)
+      a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
         .withColumn("cos6", round(cos, 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select("label", "rk", "v1", "v2", "cos6")
-        .orderBy("label", "rk")
+        .select("cell", "rk", "v1", "v2", "cos6")
+        .orderBy("cell", "rk")
     },
     Some("""
-      WITH p AS (
-        SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+      WITH nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn WHERE vec_id < k),
+      d AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 6) AS d26
+            FROM embeddings e CROSS JOIN c),
+      cells AS (SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
+          FROM d) t WHERE rk = 1),
+      p AS (
+        SELECT x.cell, a.vec_id AS v1, b.vec_id AS v2,
           round(
             list_sum(list_transform(generate_series(1, len(a.embedding)),
               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
@@ -153,82 +213,81 @@ object Similarity {
               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
              sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cos6
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id),
-      r AS (SELECT label, v1, v2, cos6,
-                   row_number() OVER (PARTITION BY label ORDER BY cos6 DESC, v1 ASC, v2 ASC) AS rk
+        FROM cells x JOIN embeddings a ON x.vec_id = a.vec_id
+             JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+             JOIN embeddings b ON y.vec_id = b.vec_id),
+      r AS (SELECT cell, v1, v2, cos6,
+                   row_number() OVER (PARTITION BY cell ORDER BY cos6 DESC, v1 ASC, v2 ASC) AS rk
             FROM p)
-      SELECT label, CAST(rk AS INT) AS rk, v1, v2, cos6 FROM r WHERE rk <= 3
-      ORDER BY label, rk
+      SELECT cell, CAST(rk AS INT) AS rk, v1, v2, cos6 FROM r WHERE rk <= 3
+      ORDER BY cell, rk
     """.trim)
   )
 
-  /** IVF-routed ANN: assign every vector to its nearest probe centroid
-    * (q25), then answer nearest-neighbor queries ONLY within the same
-    * cell — the scale path that makes 10^12-row ANN tractable.
+  /** IVF-routed ANN: assign every vector to its k = ⌈√n⌉-cell coarse
+    * quantizer (top-2 probe list per query, home cell per candidate),
+    * then answer nearest-neighbor queries only within probed cells — the
+    * scale path that makes 10^12-row ANN tractable. The assignment is a
+    * single map-only fold against a broadcast centroid row, computed once
+    * and persisted so the query/candidate branches reuse it; the
+    * candidate join key has ~√n distinct values, so no skew collapse.
     */
   val q32IvfSearch = QueryDef(
     "q32_ivf_search",
     (s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      def assigned = {
-        def expl(df: org.apache.spark.sql.DataFrame, idName: String) =
-          df.select(col("vec_id").as(idName), posexplode(col("embedding")).as(Seq("pos0", "v")))
-            .select(col(idName), (col("pos0") + 1).as("pos"),
-              round(col("v").cast("double"), 6).cast("decimal(9,6)").as("x"))
-        val v = expl(e.filter(col("vec_id") >= 4), "vid").withColumnRenamed("x", "vx")
-        val c = broadcast(expl(e.filter(col("vec_id") < 4), "cid").withColumnRenamed("x", "cx"))
-        val d = v.join(c, "pos").groupBy("vid", "cid")
-          .agg(sum((col("vx") - col("cx")) * (col("vx") - col("cx"))).as("d2"))
-        val w = Window.partitionBy(col("vid")).orderBy(col("d2").asc, col("cid").asc)
-        d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).select("vid", "cid")
-      }
-      val cells = assigned
-      val emb = e.select(col("vec_id"), col("embedding"))
-      val qs = cells.filter(col("vid") % 100 === 4) // a deterministic query subset
-        .join(emb, cells("vid") === emb("vec_id"))
-        .select(col("vid").as("qid"), col("cid").as("qcell"), col("embedding").as("qe"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
-      val cands = cells.join(emb, cells("vid") === emb("vec_id"))
-        .select(col("vid").as("nid"), col("cid").as("ncell"), col("embedding").as("ne"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
-      val cos = dot(col("qe"), col("ne")) / (col("qn") * col("nn"))
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      val cents = broadcast(centroidArray(e, k))
+      val assigned = e.crossJoin(cents)
+        .withColumn("best", top2Cells(col("embedding"), col("cents")))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("c1").as("home"),
+          array(col("best").getField("c1"), col("best").getField("c2")).as("probes"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist()
+      val qs = assigned.filter(col("vec_id") % 100 === 4) // deterministic query subset
+        .select(col("vec_id").as("qid"), col("home").as("qhome"),
+          explode(col("probes")).as("pcell"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
+        col("embedding").as("ne"), col("nrm").as("cn"))
+      val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
-      qs.join(cands, col("qcell") === col("ncell") && col("qid") =!= col("nid"))
+      qs.join(cands, col("pcell") === col("ncell") && col("qid") =!= col("nid"))
         .withColumn("cos6", round(cos, 6))
         .withColumn("rk", row_number().over(w2))
         .filter(col("rk") === 1)
-        .select(col("qid"), col("qcell").as("cell"), col("nid"), col("cos6"))
+        .select(col("qid"), col("qhome").as("cell"), col("nid"), col("cos6"))
         .orderBy("qid")
     },
     Some("""
-      WITH u AS (SELECT vec_id,
-                        unnest(generate_series(1, len(embedding))) AS pos,
-                        unnest(embedding) AS v0
-                 FROM embeddings),
-      vv AS (SELECT vec_id AS vid, pos, CAST(round(CAST(v0 AS DOUBLE), 6) AS DECIMAL(9,6)) AS x
-             FROM u WHERE vec_id >= 4),
-      cc AS (SELECT vec_id AS cid, pos, CAST(round(CAST(v0 AS DOUBLE), 6) AS DECIMAL(9,6)) AS x
-             FROM u WHERE vec_id < 4),
-      d AS (SELECT vid, cid, sum((vv.x - cc.x) * (vv.x - cc.x)) AS d2
-            FROM vv JOIN cc ON vv.pos = cc.pos GROUP BY vid, cid),
-      cells AS (SELECT vid, cid FROM (
-        SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rk
-        FROM d) t WHERE rk = 1),
-      qs AS (SELECT c.vid AS qid, c.cid AS qcell, e.embedding AS qe
-             FROM cells c JOIN embeddings e ON c.vid = e.vec_id WHERE c.vid % 100 = 4),
-      cands AS (SELECT c.vid AS nid, c.cid AS ncell, e.embedding AS ne
-                FROM cells c JOIN embeddings e ON c.vid = e.vec_id),
-      p AS (SELECT qid, qcell, nid,
+      WITH nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn WHERE vec_id < k),
+      d AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 6) AS d26
+            FROM embeddings e CROSS JOIN c),
+      rkd AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
+              FROM d),
+      home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1),
+      probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 2),
+      qs AS (SELECT p.vec_id AS qid, h.cell AS qhome, p.cell AS pcell, e.embedding AS qe
+             FROM probes p JOIN home h ON p.vec_id = h.vec_id
+                  JOIN embeddings e ON p.vec_id = e.vec_id
+             WHERE p.vec_id % 100 = 4),
+      cands AS (SELECT h.vec_id AS nid, h.cell AS ncell, e.embedding AS ne
+                FROM home h JOIN embeddings e ON h.vec_id = e.vec_id),
+      p2 AS (SELECT qid, qhome, nid,
           round(
             list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))) /
             (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
              sqrt(list_sum(list_transform(generate_series(1, len(ne)), i -> CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))))), 6) AS cos6
-        FROM qs JOIN cands ON qcell = ncell AND qid <> nid)
-      SELECT qid, qcell AS cell, nid, cos6 FROM (
-        SELECT qid, qcell, nid, cos6,
+        FROM qs JOIN cands ON pcell = ncell AND qid <> nid)
+      SELECT qid, qhome AS cell, nid, cos6 FROM (
+        SELECT qid, qhome, nid, cos6,
                row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
-        FROM p) t WHERE rk = 1 ORDER BY qid
+        FROM p2) t WHERE rk = 1 ORDER BY qid
     """.trim)
   )
 

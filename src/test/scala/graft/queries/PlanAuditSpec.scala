@@ -48,6 +48,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected partial + final aggregate pair")
   }
 
+  test("q21: simhash is a row-local fold — no aggregate, no hash-partition exchange") {
+    val p = plan("q21_simhash")
+    assert(!p.contains("HashAggregate"), s"simhash must not shuffle-aggregate:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"only the final orderBy range exchange is allowed:\n$p")
+  }
+
+  test("q20: signatures computed once — a single typed map feeding one Generate") {
+    val p = plan("q20_lsh_buckets")
+    def count(sub: String): Int = sub.r.findAllMatchIn(p).length
+    assert(count("SerializeFromObject") == 1,
+      s"expected exactly one typed-map stage (signature computed once):\n$p")
+    assert(count("Generate ") == 1, s"expected one posexplode Generate:\n$p")
+  }
+
+  test("q32: assignment subplan persisted and reused by both join branches") {
+    val p = plan("q32_ivf_search")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the cached IVF assignment to be reused:\n$p")
+  }
+
+  test("q31/q32: IVF cell key has enough distinct values to spread the shuffle") {
+    // at sf0.001 k=ceil(sqrt(n)) is small; assert the mechanism at sf0.01
+    val df = graft.SparkEntry.queries("q31_embed_neardup")(spark, "/root/testdata/sf0.01")
+    val cells = df.select("cell").distinct().count()
+    assert(cells >= 16, s"expected >=16 distinct IVF cells at sf0.01, got $cells")
+  }
+
   test("extraction scan prunes to url column for the resume anti-join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan_audit").toString
