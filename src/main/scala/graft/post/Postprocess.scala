@@ -378,6 +378,8 @@ object Postprocess {
     var hash = false; var dotLine = false; var trailWs = false
     var tripleNl = false; var amp = false; var http = false
     var bracketEq = false; var beginEnv = false; var tabular = false; var leftmargin = false
+    var endEnv = false; var bulletLine = false; var midBullet = false
+    var footnote = false; var refMarker = false
     var i = 0
     var prev = '\n'
     var prev2 = '\n'
@@ -393,10 +395,21 @@ object Postprocess {
         case 'h' => if (!http && s.startsWith("http", i)) http = true
         case '[' => if (prev == '\\') bracketEq = true
                     else if (!leftmargin && s.startsWith("[leftmargin=*]", i)) leftmargin = true
+                    else if (!footnote && s.startsWith("[FOOTNOTE:", i)) footnote = true
+                    else if (prev == ' ' && prev2 == '*' && i >= 3 && s.charAt(i - 3) == '\n')
+                      refMarker = true
+                    else if (prev == ' ' && prev2 == '*' && i == 2) refMarker = true
         case 'b' => if (!beginEnv && prev == '\\' && s.startsWith("begin{", i)) {
           beginEnv = true
           if (s.startsWith("begin{tabular}", i)) tabular = true
         } else if (!tabular && prev == '\\' && s.startsWith("begin{tabular}", i)) tabular = true
+        case 'e' => if (!endEnv && prev == '\\' && s.startsWith("end{", i)) endEnv = true
+        case 'F' => if (!footnote && prev == '\n' && s.startsWith("Footnote ", i)) footnote = true
+        case ' ' =>
+          if (prev == '-' || prev == '*') {
+            if (prev2 == '\n') bulletLine = true
+            else if (prev2 == ' ') midBullet = true
+          }
         case _ => ()
       }
       prev2 = prev; prev = c
@@ -416,15 +429,29 @@ object Postprocess {
     }
     // itemize artifact (postprocessing.py:347)
     if (f.leftmargin) md = md.replace("[leftmargin=*]\n", "")
+    // hallucinated trailing title (postprocessing.py:349-356)
+    if (f.hash) md = RepairStages.endTitle(md)
     val truncated = truncateRepetitions(md)
     val wasTruncated = truncated.length < md.length
     md = truncated
     val sliced = removeHallucinatedReferences(md)
     md = sliced.text
+    // author-initial spam + empty citation brackets (postprocessing.py:358-361)
+    if (f.refMarker) md = RepairStages.authorSpam(md)
+    // lone word-char paragraph at page edge (postprocessing.py:362)
+    if (strayGate(md)) md = RepairStages.strayChar(md)
     md = fixArtifacts(md)
+    // footnote relabel + [FOOTNOTE] spans (postprocessing.py:373-381)
+    if (f.footnote) md = RepairStages.footnotes(md)
+    // one-line itemize re-flow (postprocessing.py:386-424)
+    if (f.bulletLine && f.midBullet) md = RepairStages.itemizeReflow(md)
     if (f.amp || f.beginEnv) md = killPathologicalTables(md)
+    // table/tabular whitespace corrections (postprocessing.py:459-476)
+    if (f.beginEnv || f.endEnv) md = RepairStages.tableWhitespace(md)
     // empty tabular environments (postprocessing.py:458-476)
     if (f.tabular) md = pEmptyTabular.matcher(md).replaceAll("")
+    // repeated bold "S. A. B." hallucination (postprocessing.py:477)
+    md = RepairStages.sabSpam(md)
     // lone '#' or '.' lines (postprocessing.py:478-481)
     if (f.hash) md = pHashLine.matcher(md).replaceAll("")
     if (f.dotLine) md = pDotLine.matcher(md).replaceAll("")
@@ -437,6 +464,26 @@ object Postprocess {
     if (markdownFix && (f.bracketEq || f.http))
       md = markdownCompatible(md, f.bracketEq, f.http)
     Result(md, wasTruncated, sliced.slicesRemoved)
+  }
+
+  /** O(1) gate for the stray-char stage: the pattern can only match when
+    * the page opens `\w\n\n` or closes `\n\n\w`.
+    */
+  private def strayGate(s: String): Boolean = {
+    val n = s.length
+    (n >= 3 && s.charAt(1) == '\n' && s.charAt(2) == '\n') ||
+    (n >= 3 && s.charAt(n - 2) == '\n' && s.charAt(n - 3) == '\n')
+  }
+
+  /** Per-PAGE postprocess: the document pipeline plus the page-boundary
+    * whitespace repair (postprocessing.py:426-446) which only makes sense
+    * when consecutive pages will be concatenated — the doc-level pipeline
+    * trims edges, so the boundary stage lives here (SURVEY §2 X8; the
+    * nltk word list is replaced by the bundled deterministic list).
+    */
+  def postprocessPage(md0: String, markdownFix: Boolean = true): Result = {
+    val r = postprocessSingle(md0, markdownFix)
+    r.copy(text = RepairStages.pageEnding(r.text))
   }
 }
 
