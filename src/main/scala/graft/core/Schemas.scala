@@ -34,6 +34,21 @@ final case class Span(
     body: String
 )
 
+/** One parsed bibliography entry (X2).
+  *
+  * Reference analog: the `Reference` dataclass (document.py:124-159) and
+  * `parse_latexml_references` (latexml_parser.py:420-426), which sets the
+  * title to the bibitem's stripped text; here `raw` carries that full
+  * text, `title` the text with the leading "[n]"/"n." marker removed, and
+  * `label` the citation number inline IRef markers resolve to.
+  */
+final case class RefEntry(
+    id: String,
+    label: String,
+    title: String,
+    raw: String
+)
+
 /** Extraction output: one row per url (north-rule invariant). */
 final case class ExtractedDoc(
     url: String,
@@ -43,7 +58,8 @@ final case class ExtractedDoc(
     blocks_dropped: Int,
     span_counts: Map[String, Int],
     ok: Boolean,
-    error: String
+    error: String,
+    references: Seq[RefEntry] = Seq.empty
 )
 
 /** Per-partition lineage row appended to the metrics table — the

@@ -21,9 +21,13 @@ object TextMetrics {
   def tokenize(s: String): Array[String] =
     wsPattern.split(s.trim).filter(_.nonEmpty)
 
-  /** Multiset token precision/recall/F1 (metrics.py:34-43 semantics:
-    * strings shorter than 4 chars total → all-zero, like the reference's
-    * min-length gate).
+  /** Multiset token precision/recall/F1. NOTE: this intentionally
+    * diverges from the reference, which converts token lists to set()
+    * before nltk's set-based precision/recall (metrics.py:34-43) — the
+    * multiset form is strictly more informative on documents with
+    * repeated tokens; the reference's set-based scores live in
+    * EvalQueries.q28TokenPRF. The <4-char all-zero gate matches the
+    * reference's min-length guard.
     */
   def tokenPRF(pred: String, gt: String): (Double, Double, Double) = {
     if (pred.length < 4 || gt.length < 4) return (0.0, 0.0, 0.0)
@@ -41,6 +45,76 @@ object TextMetrics {
     val rec = overlap.toDouble / g.length
     val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
     (prec, rec, f1)
+  }
+
+  // ---- METEOR (metrics.py:36, nltk.translate.meteor) ----------------------
+
+  /** Greedy word alignment, nltk semantics: hypothesis scanned last→first,
+    * each occurrence pairing with the LAST unmatched reference occurrence
+    * of the same key; the exact stage runs first, then (optionally) the
+    * Porter-stem stage over the leftovers. Returns (matches, chunks) where
+    * chunks counts maximal runs of adjacent-in-both matches — the METEOR
+    * fragmentation unit.
+    *
+    * nltk's third stage (WordNet synonyms) is omitted: no corpus exists
+    * offline (documented divergence, SURVEY §7.4 #1).
+    */
+  def meteorAlignment(hyp: Array[String], ref: Array[String],
+                      stem: Boolean): (Int, Int) = {
+    val hFree = Array.fill(hyp.length)(true)
+    val rFree = Array.fill(ref.length)(true)
+    val matches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def stage(hKey: Int => String, rKey: Int => String): Unit = {
+      var i = hyp.length - 1
+      while (i >= 0) {
+        if (hFree(i)) {
+          var j = ref.length - 1
+          var found = false
+          while (j >= 0 && !found) {
+            if (rFree(j) && hKey(i) == rKey(j)) {
+              matches += ((i, j)); hFree(i) = false; rFree(j) = false; found = true
+            }
+            j -= 1
+          }
+        }
+        i -= 1
+      }
+    }
+    stage(hyp(_), ref(_))
+    if (stem) {
+      val hs = hyp.map(PorterStemmer.stem)
+      val rs = ref.map(PorterStemmer.stem)
+      stage(hs(_), rs(_))
+    }
+    val sorted = matches.sortBy(_._1)
+    var chunks = 0
+    var k = 0
+    while (k < sorted.length) {
+      if (k == 0 || sorted(k)._1 != sorted(k - 1)._1 + 1 ||
+          sorted(k)._2 != sorted(k - 1)._2 + 1) chunks += 1
+      k += 1
+    }
+    (matches.length, chunks)
+  }
+
+  /** METEOR (exact + Porter-stem stages; lowercase preprocess like nltk's
+    * default): fmean = PR/(0.9P+0.1R), penalty = 0.5·(chunks/matches)³,
+    * score = fmean·(1−penalty). The cube is expanded as repeated
+    * multiplication so the DuckDB oracle reproduces it bit-exactly
+    * (libm pow may differ in the last ulp).
+    */
+  def meteor(pred: String, gt: String, stem: Boolean = true): Double = {
+    val h = tokenize(pred).map(_.toLowerCase(java.util.Locale.ROOT))
+    val r = tokenize(gt).map(_.toLowerCase(java.util.Locale.ROOT))
+    if (h.isEmpty || r.isEmpty) return 0.0
+    val (m, chunks) = meteorAlignment(h, r, stem)
+    if (m == 0) return 0.0
+    val p = m.toDouble / h.length
+    val rec = m.toDouble / r.length
+    val fmean = (p * rec) / (0.9 * p + 0.1 * rec)
+    val frag = chunks.toDouble / m
+    val penalty = 0.5 * (frag * frag * frag)
+    fmean * (1.0 - penalty)
   }
 
   private def ngrams(ws: Array[String], n: Int): Map[Seq[String], Int] = {

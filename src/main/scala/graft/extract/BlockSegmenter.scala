@@ -56,10 +56,18 @@ object BlockSegmenter {
     }
   }
 
+  /** Section headings that announce a bibliography (X2). */
+  private val refsHeadRe = java.util.regex.Pattern.compile(
+    "(?i)^(references?|bibliography|works cited|literature|citations)\\s*$")
+
   def segment(root: DomElem): SegResult = {
     val ids = new IdGen
     var kept = 0
     var dropped = 0
+    // set by a References/Bibliography heading or an ltx_bibliography
+    // container; the next ul/ol is parsed as a reference list (X2,
+    // parse_latexml_references latexml_parser.py:420-426)
+    var bibContext = false
     val out = new ArrayBuffer[Block](32)
 
     val body = findBody(root)
@@ -119,8 +127,15 @@ object BlockSegmenter {
         val lvl = t(1) - '0'
         val inl = inlines(el.children, ids)
         val txt = inlineText(inl)
-        if (txt.exists(!_.isWhitespace))
+        if (txt.exists(!_.isWhitespace)) {
+          bibContext = refsHeadRe.matcher(txt.trim).matches()
           emit(BHeader(lvl, inl), linkDensity(inl) < 0.5)
+        }
+      case "ul" | "ol" if bibContext || isBibList(el) =>
+        // reference lists bypass the link-density filter: bib entries are
+        // legitimately link-dense (DOI/arXiv anchors)
+        val b = buildRefList(el, ids)
+        if (b.items.nonEmpty) emit(b, true)
       case "ul" | "ol" =>
         val b = buildList(el, ids)
         if (b.items.nonEmpty) {
@@ -172,7 +187,11 @@ object BlockSegmenter {
         el.tag match {
           case "figcaption" | "colgroup" | "col" => ()
           case "picture" | "audio" | "video" | "map" | "object" => ()
-          case _ => walk(el)
+          case _ =>
+            if (el.attr("role").contains("doc-bibliography") ||
+                el.classes.exists(_.toLowerCase.contains("bibliography")))
+              bibContext = true
+            walk(el)
         }
       case "title" | "style" | "script" | "link" | "meta" | "base" | "img" |
            "input" | "textarea" | "option" | "optgroup" | "canvas" | "embed" |
@@ -207,6 +226,29 @@ object BlockSegmenter {
           head ++ nestedLists.map(nl => buildList(nl, ids))
       }.filter(_.nonEmpty)
       BList(ordered, items.toVector)
+    }
+
+    /** li items → bibliography entries: id from the li's id attribute
+      * (else a per-doc counter), label from the leading "[n]"/"n." marker
+      * (else the 1-based position).
+      */
+    def buildRefList(el: DomElem, ids: IdGen): BRefList = {
+      val items = new ArrayBuffer[BRefItem](16)
+      el.children.foreach {
+        case li: DomElem if li.tag == "li" =>
+          val inl = inlines(li.children, ids)
+          val txt = inlineText(inl)
+          if (txt.exists(!_.isWhitespace)) {
+            val id = ids.next("bib", li.attr("id"))
+            val m = refLabelRe.matcher(txt)
+            val label =
+              if (m.find()) { if (m.group(1) != null) m.group(1) else m.group(2) }
+              else (items.length + 1).toString
+            items += BRefItem(id, label, inl)
+          }
+        case _ => ()
+      }
+      BRefList(items.toVector)
     }
 
     def buildDefList(el: DomElem, ids: IdGen): Vector[(Vector[Inline], Vector[Inline])] = {
@@ -265,7 +307,12 @@ object BlockSegmenter {
       case e: DomElem => e.tag match {
         case "br" => out += ITxt("\n")
         case "b" | "strong" => out += IBold(inlines(e.children, ids))
-        case "i" | "em" | "cite" | "var" => out += IItal(inlines(e.children, ids))
+        case "i" | "em" | "var" => out += IItal(inlines(e.children, ids))
+        case "cite" =>
+          // LaTeXML wraps citation anchors in <cite class="ltx_cite">
+          // (latexml_parser.py:249-251): transparent — a citation marker
+          // must not pick up italics; plain <cite> styling is presentational
+          rec(e.children)
         case "sup" =>
           if (isFootnoteRef(e)) out ++= inlines(e.children, ids) // ref marker text kept
           else out += ISup(inlines(e.children, ids))
@@ -275,7 +322,18 @@ object BlockSegmenter {
         case "a" =>
           val kids = inlines(e.children, ids)
           val href = e.attrs.getOrElse("href", "")
-          out += ILink(href, kids)
+          if (href.startsWith("#bib") || href.startsWith("#cite")) {
+            // inline citation (InlineRef, latexml_parser.py:253-273):
+            // numeric text is the label; broken text falls back to the
+            // digits of the anchor target; neither → keep the plain text
+            // (the reference raises here; a web pipeline must not)
+            val text = inlineText(kids).trim
+            val tgtDigits = href.filter(_.isDigit)
+            if (text.nonEmpty && text.forall(_.isDigit)) out += IRef(href, text)
+            else if (tgtDigits.nonEmpty && text.exists(_.isLetter) && text.exists(_.isDigit))
+              out += IRef(href, tgtDigits)
+            else out ++= kids
+          } else out += ILink(href, kids)
         case "math" =>
           mathTex(e).foreach { tex =>
             out += IMath(tex, e.attr("display").contains("block"), ids.next("eq", e.attr("id")))
@@ -311,6 +369,20 @@ object BlockSegmenter {
     "table", "tr", "td", "th", "thead", "tbody", "tfoot", "pre",
     "header", "footer", "figure", "figcaption", "form", "address")
 
+  private val refLabelRe = java.util.regex.Pattern.compile(
+    "^\\s*(?:\\[(\\d{1,4})\\]|(\\d{1,4})\\.)")
+
+  /** A list is a bibliography when it (or its items) carry bib classes/ids
+    * (`ul.ltx_biblist` / `li.ltx_bibitem`, latexml_parser.py:421). */
+  private def isBibList(el: DomElem): Boolean =
+    el.classes.exists(c => { val l = c.toLowerCase; l.contains("biblist") || l.contains("bibliography") }) ||
+      el.children.exists {
+        case li: DomElem if li.tag == "li" =>
+          li.classes.exists(_.toLowerCase.contains("bibitem")) ||
+            li.attr("id").exists(_.startsWith("bib"))
+        case _ => false
+      }
+
   private def isFootnoteElem(e: DomElem): Boolean =
     e.attr("role").contains("doc-footnote") ||
       e.classes.exists(c => { val l = c.toLowerCase; l.contains("footnote") || l == "ltx_note" })
@@ -345,6 +417,7 @@ object BlockSegmenter {
       case ILink(_, c) => rec(c)
       case IMath(tex, _, _) => sb.append(tex)
       case IFootnote(_, c) => rec(c)
+      case IRef(_, label) => sb.append('[').append(label).append(']')
     }
     rec(inl)
     sb.toString
@@ -399,6 +472,7 @@ object BlockSegmenter {
       case ISup(c) => rec(c, inLink)
       case ISub(c) => rec(c, inLink)
       case IFootnote(_, c) => rec(c, inLink)
+      case IRef(_, _) => total += 1; if (inLink) link += 1
     }
     rec(inl, false)
     if (total == 0) 0.0 else link.toDouble / total
@@ -461,6 +535,10 @@ object BlockSegmenter {
         st.total += 1; if (inLink) st.link += 1
         st.math = true; st.nonWs = true
       case IFootnote(_, c) => rec(c, inLink)
+      case IRef(_, _) =>
+        // a citation marker is prose evidence, never nav-link evidence —
+        // reference-dense academic paragraphs must not look like boilerplate
+        st.total += 1; st.nonWs = true
     }
     rec(inl, false)
     st

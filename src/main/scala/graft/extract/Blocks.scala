@@ -17,6 +17,10 @@ final case class ILink(target: String, children: Vector[Inline]) extends Inline
 final case class IMath(tex: String, display: Boolean, id: String) extends Inline
 /** Footnote hoisted out of the paragraph (latexml_parser.py:126-140). */
 final case class IFootnote(id: String, body: Vector[Inline]) extends Inline
+/** Inline citation to a bibliography entry — `a[href^=#bib]`
+  * (`InlineRef`, latexml_parser.py:253-273). `label` is the resolved
+  * citation number; `target` the original anchor. */
+final case class IRef(target: String, label: String) extends Inline
 
 sealed trait Block
 final case class BPara(inlines: Vector[Inline]) extends Block
@@ -30,6 +34,12 @@ final case class BTable(id: String, caption: Vector[Inline], rows: Vector[Vector
 final case class BMathBlock(tex: String, id: String) extends Block
 /** (term, definition) pairs from dl/dt/dd (document.py:264-306 analog). */
 final case class BDefList(items: Vector[(Vector[Inline], Vector[Inline])]) extends Block
+/** Bibliography list (X2): `li.ltx_bibitem` family / list after a
+  * References heading (parse_latexml_references, latexml_parser.py:420-426). */
+final case class BRefList(items: Vector[BRefItem]) extends Block
+/** `label` = citation number ("1"); parsed from the item's leading
+  * "[n]"/"n." marker, else the 1-based position. */
+final case class BRefItem(id: String, label: String, inlines: Vector[Inline])
 
 /** align: 'l' | 'c' | 'r'; colspan/rowspan ≥ 1. */
 final case class BCell(inlines: Vector[Inline], colspan: Int, rowspan: Int,

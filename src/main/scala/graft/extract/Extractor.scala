@@ -23,8 +23,11 @@ object Extractor {
       maxDomNodes: Int = 1 << 20,
       markdownFix: Boolean = true,
       // W7 sentinel emission (predict.py:171-195): a page whose extraction
-      // is empty despite non-empty input yields [MISSING_PAGE_EMPTY]
-      emitSentinels: Boolean = false
+      // is empty despite non-empty input yields [MISSING_PAGE_EMPTY];
+      // repetition/slice removal keeping less than this fraction of the
+      // serialized page yields [MISSING_PAGE_FAIL]
+      emitSentinels: Boolean = false,
+      failDominanceKeep: Double = 0.15
   )
 
   val default: Config = Config()
@@ -54,9 +57,21 @@ object Extractor {
       val ser = MarkdownSerializer.serialize(seg.blocks)
       val post = Postprocess.postprocessSingle(ser.markdown, cfg.markdownFix)
       val (finalMd0, spans) = SpanReinserter.reinsert(post.text, ser.bodies)
+      // W7 sentinels (predict.py:178-191): a page reduced to nothing (or to
+      // a lone [MISSING_PAGE_POST] hallucination slice) is EMPTY; a page
+      // whose content was DOMINATED by degenerate repetition/slices — what
+      // survives is under failDominanceKeep of the serialized length — is
+      // FAIL (incomplete, not faithfully extracted).
       val finalMd =
-        if (cfg.emitSentinels && finalMd0.isEmpty && html.exists(!_.isWhitespace))
+        if (!cfg.emitSentinels) finalMd0
+        else if (finalMd0.isEmpty && html.exists(!_.isWhitespace))
           "[MISSING_PAGE_EMPTY]"
+        else if (finalMd0.trim == "[MISSING_PAGE_POST]")
+          "[MISSING_PAGE_EMPTY]"
+        else if ((post.repetitionTruncated || post.slicesRemoved > 0) &&
+                 ser.markdown.length > 0 &&
+                 finalMd0.length < cfg.failDominanceKeep * ser.markdown.length)
+          "[MISSING_PAGE_FAIL]"
         else finalMd0
       val counts = spans.groupBy(_.kind).map { case (k, v) => (k, v.length) }
       ExtractedDoc(
@@ -67,7 +82,10 @@ object Extractor {
         blocks_dropped = seg.stats.blocksDropped,
         span_counts = counts,
         ok = true,
-        error = ""
+        error = "",
+        // parsed bibliography (X2): document-level metadata from the
+        // segmenter, kept even if postprocess truncated the ref lines
+        references = ser.refs
       )
     } catch {
       case NonFatal(e) => failure(url, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))

@@ -16,7 +16,8 @@ import scala.collection.mutable.ArrayBuffer
 object MarkdownSerializer {
 
   final case class SpanBody(kind: String, id: String, body: String)
-  final case class Serialized(markdown: String, bodies: Vector[SpanBody])
+  final case class Serialized(markdown: String, bodies: Vector[SpanBody],
+                              refs: Vector[graft.core.RefEntry] = Vector.empty)
 
   private val supMap: Map[Char, Char] = Map(
     '0' -> '⁰', '1' -> '¹', '2' -> '²', '3' -> '³', '4' -> '⁴',
@@ -30,6 +31,7 @@ object MarkdownSerializer {
   def serialize(blocks: Vector[Block]): Serialized = {
     val bodies = new ArrayBuffer[SpanBody](8)
     val footnotes = new ArrayBuffer[(String, String)](4)
+    val refs = new ArrayBuffer[graft.core.RefEntry](4)
 
     def marker(kind: String, id: String, body: String): String = {
       bodies += SpanBody(kind, id, body)
@@ -80,6 +82,9 @@ object MarkdownSerializer {
             footnotes += ((id, body))
             sb.append("[^").append(id).append(']')
           }
+        case IRef(_, label) =>
+          // inline citation → "[n]" (InlineRef, latexml_parser.py:253-273)
+          sb.append('[').append(label).append(']')
       }
       sb.toString
     }
@@ -191,6 +196,16 @@ object MarkdownSerializer {
       case BMathBlock(tex, id) =>
         val body = TexNormalizer.normalize(tex, inline = false)
         if (body.isEmpty) "" else marker("math_display", id, body)
+      case BRefList(items) =>
+        // nougat mmd reference style: one "* [n] text" line per entry,
+        // each riding the span channel (kind "ref") so postprocess stages
+        // never mistake REAL parsed references for hallucinated ones
+        items.map { it =>
+          val raw = inl(it.inlines, spans = false).trim
+          val title = stripRefMarker(raw, it.label)
+          refs += graft.core.RefEntry(it.id, it.label, title, raw)
+          marker("ref", it.id, s"* [${it.label}] $title")
+        }.filter(_.nonEmpty).mkString("\n")
     }
 
     val parts = blocks.map(block(_, 0)).filter(_.nonEmpty)
@@ -198,7 +213,15 @@ object MarkdownSerializer {
       marker("footnote", id, s"[^$id]: $body")
     }
     val md = (parts ++ fns).mkString("\n\n")
-    Serialized(epilogue(md), bodies.toVector)
+    Serialized(epilogue(md), bodies.toVector, refs.toVector)
+  }
+
+  /** Remove the leading "[n]" / "n." marker the entry text repeats. */
+  private def stripRefMarker(raw: String, label: String): String = {
+    val bracket = s"[$label]"
+    if (raw.startsWith(bracket)) raw.substring(bracket.length).stripLeading()
+    else if (raw.startsWith(label + ".")) raw.substring(label.length + 1).stripLeading()
+    else raw
   }
 
   /** Inline-whitespace collapse (HTML rendering semantics); explicit '\n'

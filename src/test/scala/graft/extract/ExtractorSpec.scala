@@ -257,6 +257,31 @@ class ExtractorSpec extends AnyFunSuite {
     assert(outs.map(_.spans).distinct.length == 1)
   }
 
+  test("W7 sentinels: EMPTY vs FAIL vs clean (predict.py:178-191 analog)") {
+    val cfg = Extractor.default.copy(emitSentinels = true)
+    // clean page: no sentinel
+    val clean = Extractor.extractHtml("u",
+      "<body><p>A perfectly ordinary paragraph that extracts fine.</p></body>", cfg)
+    assert(!clean.markdown.contains("MISSING_PAGE"))
+    // non-empty input, empty extraction → EMPTY
+    val empty = Extractor.extractHtml("u",
+      "<body><nav><a href='/a'>only</a> <a href='/b'>links</a></nav></body>", cfg)
+    assert(empty.markdown == "[MISSING_PAGE_EMPTY]")
+    // page dominated by a degenerate repeating tail → FAIL
+    val rep = "This exact sentence repeats forever and ever in the output stream. "
+    val failHtml = s"<body><p>${rep * 40}</p></body>"
+    val failed = Extractor.extractHtml("u", failHtml, cfg)
+    assert(failed.markdown == "[MISSING_PAGE_FAIL]")
+    // same page without sentinels keeps the truncated prefix
+    val noSent = Extractor.extractHtml("u", failHtml)
+    assert(noSent.markdown.startsWith("This exact sentence repeats"))
+    // truncation that removes only a small tail is NOT a failure
+    val mostlyGood = "A long and substantive opening paragraph about the method. " * 20
+    val okDoc = Extractor.extractHtml("u",
+      s"<body><p>$mostlyGood</p><p>${"tail repeat phrase here now. " * 4}</p></body>", cfg)
+    assert(!okDoc.markdown.contains("MISSING_PAGE"))
+  }
+
   test("span offsets always index into final markdown (invariant)") {
     val h =
       """<body><p>P1 <math alttext="x+1"></math> mid.</p><table id="z"><tr><td>c</td></tr></table>
