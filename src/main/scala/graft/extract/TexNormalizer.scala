@@ -8,10 +8,30 @@ package graft.extract
   */
 object TexNormalizer {
 
+  /** Interchangeable-command canonicalization, the reference's full `syn`
+    * table (latex_conversion.py:12-42) in the reference's directions
+    * (\rightarrow→\to, \vee→\lor, …). Two deliberate fixes: the
+    * reference swaps \lbrace→\} / \rbrace→\{ (an upstream bug — lbrace IS
+    * \{); here they map correctly. A few extra pairs the reference
+    * lacks (\iff, \implies, \epsilon, \dag, …) are kept from round 1.
+    */
   private val synonyms: List[(String, String)] = List(
-    "\\le" -> "\\leq", "\\ge" -> "\\geq", "\\ne" -> "\\neq",
-    "\\to" -> "\\rightarrow", "\\gets" -> "\\leftarrow",
-    "\\land" -> "\\wedge", "\\lor" -> "\\vee", "\\lnot" -> "\\neg",
+    "\\rbrack" -> "]", "\\lbrack" -> "[",
+    "\\lbrace" -> "\\{", "\\rbrace" -> "\\}",
+    "\\lnot" -> "\\neg", "\\land" -> "\\wedge", "\\vee" -> "\\lor",
+    "\\doublecup" -> "\\Cup", "\\doublecap" -> "\\Cap",
+    "\\llless" -> "\\lll", "\\gggtr" -> "\\ggg",
+    "\\doteqdot" -> "\\Doteq",
+    "\\ne" -> "\\neq", "\\le" -> "\\leq", "\\ge" -> "\\geq",
+    "\\leftarrow" -> "\\gets", "\\rightarrow" -> "\\to",
+    "\\restriction" -> "\\upharpoonright", "\\owns" -> "\\ni",
+    "\\textlnot" -> "\\neg", "\\textellipsis" -> "\\ldots",
+    "\\textbullet" -> "\\bullet", "\\plusmn" -> "\\pm",
+    "\\texttimes" -> "\\times", "\\textmu" -> "\\mu",
+    "\\textendash" -> "-", "\\textemdash" -> "---",
+    "\\>" -> "\\:", "\\medspace" -> "\\:",
+    "\\thinspace" -> "\\,", "\\negthinspace" -> "\\!",
+    "\\thickspace" -> "\\;",
     "\\iff" -> "\\Leftrightarrow", "\\implies" -> "\\Rightarrow",
     "\\AA" -> "\\angstrom", "\\epsilon" -> "\\varepsilon",
     "\\Vert" -> "\\|", "\\dag" -> "\\dagger", "\\ddag" -> "\\ddagger"
@@ -54,10 +74,12 @@ object TexNormalizer {
   }
 
   /** Replace a TeX command only at non-letter boundaries (so \le does not
-    * hit \left or \leq).
+    * hit \left or \leq). Commands ending in a symbol (e.g. \>) need no
+    * boundary.
     */
   private def replaceCommand(s: String, cmd: String, to: String): String = {
     if (s.indexOf(cmd) < 0) return s
+    if (!cmd.charAt(cmd.length - 1).isLetter) return s.replace(cmd, to)
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -78,14 +100,48 @@ object TexNormalizer {
     * dependency reduced to a fixed table; deterministic by construction).
     */
   private val uni2tex: Map[Char, String] = Map(
+    // greek
     'α' -> "\\alpha ", 'β' -> "\\beta ", 'γ' -> "\\gamma ", 'δ' -> "\\delta ",
-    'ε' -> "\\varepsilon ", 'λ' -> "\\lambda ", 'μ' -> "\\mu ", 'π' -> "\\pi ",
-    'σ' -> "\\sigma ", 'ω' -> "\\omega ", 'Δ' -> "\\Delta ", 'Ω' -> "\\Omega ",
+    'ε' -> "\\varepsilon ", 'ζ' -> "\\zeta ", 'η' -> "\\eta ", 'θ' -> "\\theta ",
+    'ι' -> "\\iota ", 'κ' -> "\\kappa ", 'λ' -> "\\lambda ", 'μ' -> "\\mu ",
+    'ν' -> "\\nu ", 'ξ' -> "\\xi ", 'π' -> "\\pi ", 'ρ' -> "\\rho ",
+    'σ' -> "\\sigma ", 'τ' -> "\\tau ", 'υ' -> "\\upsilon ", 'φ' -> "\\varphi ",
+    'ϕ' -> "\\phi ", 'χ' -> "\\chi ", 'ψ' -> "\\psi ", 'ω' -> "\\omega ",
+    'Γ' -> "\\Gamma ", 'Δ' -> "\\Delta ", 'Θ' -> "\\Theta ", 'Λ' -> "\\Lambda ",
+    'Ξ' -> "\\Xi ", 'Π' -> "\\Pi ", 'Σ' -> "\\Sigma ", 'Φ' -> "\\Phi ",
+    'Ψ' -> "\\Psi ", 'Ω' -> "\\Omega ",
+    // operators & relations
     '∞' -> "\\infty ", '∑' -> "\\sum ", '∏' -> "\\prod ", '∫' -> "\\int ",
-    '√' -> "\\sqrt ", '≈' -> "\\approx ", '≠' -> "\\neq ", '≤' -> "\\leq ",
-    '≥' -> "\\geq ", '±' -> "\\pm ", '×' -> "\\times ", '÷' -> "\\div ",
-    '−' -> "-", '→' -> "\\rightarrow ", '←' -> "\\leftarrow ", '·' -> "\\cdot ",
-    '°' -> "^{\\circ}")
+    '√' -> "\\sqrt ", '∂' -> "\\partial ", '∇' -> "\\nabla ",
+    '≈' -> "\\approx ", '≠' -> "\\neq ", '≤' -> "\\leq ", '≥' -> "\\geq ",
+    '≡' -> "\\equiv ", '≃' -> "\\simeq ", '≅' -> "\\cong ", '∝' -> "\\propto ",
+    '∼' -> "\\sim ", '±' -> "\\pm ", '∓' -> "\\mp ", '×' -> "\\times ",
+    '÷' -> "\\div ", '⋅' -> "\\cdot ", '∘' -> "\\circ ", '⊕' -> "\\oplus ",
+    '⊗' -> "\\otimes ", '⊥' -> "\\perp ", '∥' -> "\\parallel ",
+    // sets & logic
+    '∈' -> "\\in ", '∉' -> "\\notin ", '⊂' -> "\\subset ", '⊆' -> "\\subseteq ",
+    '⊃' -> "\\supset ", '⊇' -> "\\supseteq ", '∪' -> "\\cup ", '∩' -> "\\cap ",
+    '∅' -> "\\emptyset ", '∀' -> "\\forall ", '∃' -> "\\exists ",
+    '¬' -> "\\neg ", '∧' -> "\\wedge ", '∨' -> "\\lor ",
+    // arrows
+    '−' -> "-", '→' -> "\\to ", '←' -> "\\gets ", '↔' -> "\\leftrightarrow ",
+    '⇒' -> "\\Rightarrow ", '⇐' -> "\\Leftarrow ", '⇔' -> "\\Leftrightarrow ",
+    '↦' -> "\\mapsto ",
+    // blackboard / misc math letters
+    'ℝ' -> "\\mathbb{R} ", 'ℕ' -> "\\mathbb{N} ", 'ℤ' -> "\\mathbb{Z} ",
+    'ℚ' -> "\\mathbb{Q} ", 'ℂ' -> "\\mathbb{C} ", 'ℓ' -> "\\ell ",
+    'ℏ' -> "\\hbar ", '′' -> "'", '″' -> "''", '…' -> "\\ldots ",
+    '·' -> "\\cdot ", '°' -> "^{\\circ}",
+    // accented latin (pylatexenc-style, braces pre-stripped) and quotes
+    // (\textquote* replacements, latex_conversion.py:94-98)
+    'ä' -> "\\\"a", 'ö' -> "\\\"o", 'ü' -> "\\\"u",
+    'Ä' -> "\\\"A", 'Ö' -> "\\\"O", 'Ü' -> "\\\"U",
+    'é' -> "\\'e", 'è' -> "\\`e", 'ê' -> "\\^e", 'ë' -> "\\\"e",
+    'á' -> "\\'a", 'à' -> "\\`a", 'â' -> "\\^a", 'ñ' -> "\\~n",
+    'ó' -> "\\'o", 'ò' -> "\\`o", 'ô' -> "\\^o", 'í' -> "\\'i",
+    'ú' -> "\\'u", 'ç' -> "\\c c", 'ß' -> "\\ss ",
+    '’' -> "'", '‘' -> "'", '“' -> "\"", '”' -> "\"",
+    '\u2009' -> " ") // thin space (latex_conversion.py:102)
 
   def unicodeToLatex(tex: String): String = {
     var any = false

@@ -100,5 +100,39 @@ object MultiModal {
     None
   )
 
-  val all: Seq[QueryDef] = Seq(q26BinaryMeta, qxMediaFeatures)
+  /** X20: pt→px geometry conversion (`convert_pt2px`,
+    * create_index.py:30-37) — round(dpi/72 · pt) per coordinate, with
+    * Python's banker's rounding (bround / round_even on both engines).
+    */
+  def convertPt2Px(pt: Seq[Double], dpi: Int = 96): Seq[Int] =
+    pt.map(p => math.rint(dpi / 72.0 * p).toInt)
+
+  /** Figure-boundary conversion as a column transform over a synthetic
+    * pt-space region derived from doc_id (the pdffigures regionBoundary
+    * analog, create_index.py:50-52), with a bit-exact DuckDB oracle.
+    */
+  val q36Pt2Px = QueryDef(
+    "q36_pt2px",
+    (s, dir) => {
+      val x1 = pmod(col("doc_id"), lit(612)).cast("double") * 0.37
+      val y1 = pmod(col("doc_id") * 3, lit(792)).cast("double") * 0.53
+      val region = array(x1, y1, x1 + 108.25, y1 + 54.75)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          transform(region, p => bround(p * 96.0 / 72.0).cast("int")).as("region_px"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        (doc_id % 612) * 0.37::DOUBLE AS x1,
+                        ((doc_id * 3) % 792) * 0.53::DOUBLE AS y1
+                 FROM documents)
+      SELECT doc_id,
+             list_transform([x1, y1, x1 + 108.25, y1 + 54.75],
+                            p -> CAST(round_even(p * 96.0 / 72.0, 0) AS INT)) AS region_px
+      FROM t ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q26BinaryMeta, qxMediaFeatures, q36Pt2Px)
 }
