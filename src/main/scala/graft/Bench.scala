@@ -23,9 +23,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warm the JVM/codegen once on the smallest sf (excluded from timing)
-    try SparkEntry.queries("q01_pricing_agg")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // warm the JVM/codegen once on the TARGET dir (excluded from timing);
+    // log if warmup fails so a cold first query is visible, not silent
+    try SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup on $sfDir failed (${e.getClass.getSimpleName}); first query runs cold") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -49,25 +51,34 @@ object Bench {
     val total = results.map(_._2).sum
     spark.stop()
 
-    // north-rule scaling evidence inline (N vs 4N parallelism on the same
-    // input; best of 2 interleaved rounds; JIT already warm from above)
+    // north-rule scaling evidence: ScalingBench's own protocol (the
+    // round-1 verdict flagged the short embedded variant as too noisy) —
+    // parquet-materialized 1M-page corpus, equal partition granularity at
+    // both levels, interleaved rounds each pairing a pure-CPU probe with
+    // the lo and hi runs in one noise window, best-of over rounds
     import graft.bench.ScalingBench
-    // fixed size regardless of sf: each runAt builds a fresh session
-    // whose codegen re-JITs, so short runs measure compilation, not the
-    // engine — size for ≥4 s of work at the fast level
-    val scalePages = 400000L
-    val runs = (1 to 2).flatMap(_ => Seq(ScalingBench.runAt(8, scalePages), ScalingBench.runAt(32, scalePages)))
-    val lo = runs.filter(_.cores == 8).map(_.docsPerSec).max
-    val hi = runs.filter(_.cores == 32).map(_.docsPerSec).max
-    val eff = (hi / lo) / 4.0
-    val ceiling = ScalingBench.cpuCeiling(8, 32)
-    val identical = runs.map(_.outputMd5).distinct.length == 1
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "1000000").toLong
+    val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
+    ScalingBench.prepareCorpus(scalePages)
+    ScalingBench.runAt(32, scalePages) // C2 warm for the timed rounds
+    val rs = (1 to scaleRounds).map(_ => ScalingBench.round(8, 32, scalePages))
+    val rep = ScalingBench.Report.build(rs, scalePages, 8, 32)
+    val lo = rs.map(_.lo.docsPerSec).max
+    val hi = rs.map(_.hi.docsPerSec).max
+    // keep BENCH/BASELINE.md in lockstep with the round's BENCH json
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), rep.md)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH/BASELINE.md: ${e.getMessage}") }
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       f""""extract_docs_per_sec":$docsPerSec%.1f,"extract_pages":$nPages,"extract_ok":$nOk,"cores":$cpus,""" +
       f""""scaling":{"lo_cores":8,"hi_cores":32,"lo_docs_per_sec":$lo%.1f,"hi_docs_per_sec":$hi%.1f,""" +
-      f""""efficiency":$eff%.3f,"cpu_smt_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,""" +
-      f""""output_byte_identical":$identical}}""")
+      f""""scale_pages":$scalePages,"rounds":$scaleRounds,""" +
+      f""""efficiency":${rep.efficiency}%.3f,"cpu_ceiling":${rep.ceiling}%.3f,""" +
+      f""""efficiency_vs_ceiling":${rep.efficiency / rep.ceiling}%.3f,""" +
+      f""""output_byte_identical":${rep.identical}}}""")
   }
 }
