@@ -76,6 +76,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cells >= 16, s"expected >=16 distinct IVF cells at sf0.01, got $cells")
   }
 
+  test("q34: template scrub-back is a left-anti join; line explode is map-only") {
+    val p = plan("q34_template_scrub")
+    assert(p.contains("LeftAnti"), s"boilerplate removal must be an anti-join:\n$p")
+    assert(p.contains("Generate posexplode"), s"line explode must be a Generate:\n$p")
+  }
+
+  test("q35: meteor is one typed map stage — no shuffle before the final sort") {
+    val p = plan("q35_meteor")
+    assert(!p.contains("hashpartitioning"),
+      s"meteor is row-local; only the orderBy range exchange is allowed:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"expected the typed alignment map:\n$p")
+  }
+
+  test("q36: pt2px is a pure projection over a pruned scan") {
+    val p = plan("q36_pt2px")
+    assert(!p.contains("hashpartitioning"), s"no shuffle expected:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must read only doc_id:\n$p")
+  }
+
   test("extraction scan prunes to url column for the resume anti-join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan_audit").toString
