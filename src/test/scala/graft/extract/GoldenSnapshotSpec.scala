@@ -17,7 +17,15 @@ class GoldenSnapshotSpec extends AnyFunSuite {
     ("https://example.org/boiler/00000023", 23L, "f51692c7e83eb6a24c4d7557fe4d21f7", 614, 3, 11, 0),
     ("https://example.org/table/00000101", 101L, "555feed831654f908b35d8e9e1984626", 687, 4, 2, 1),
     ("https://example.org/boiler/00000999", 999L, "98fee3c940c4393c9d472856f3f0dac1", 626, 5, 11, 0),
-    ("https://example.org/nonlatin/00004242", 4242L, "cd52a3d7f1143259bd492cc2ff7ebffb", 75, 2, 2, 0)
+    ("https://example.org/nonlatin/00004242", 4242L, "cd52a3d7f1143259bd492cc2ff7ebffb", 75, 2, 2, 0),
+    // round 2: refs (bibliography + inline citations), footnote, repeat
+    // (tail truncation), math, lists — every family byte-pinned
+    ("https://example.org/refs/00000004", 4L, "f6643de43262a2d2dde9212e4ca09e55", 1113, 4, 2, 13),
+    ("https://example.org/refs/00000008", 8L, "5cde5ed75c449efc44faad0bcb62c557", 822, 4, 2, 9),
+    ("https://example.org/footnote/00000011", 11L, "eedf13b70c4776d981125ff7789185f3", 159, 2, 2, 1),
+    ("https://example.org/repeat/00000015", 15L, "25ec04bbe27bdae46191f3e439dc6d78", 367, 3, 2, 0),
+    ("https://example.org/math/00000018", 18L, "09ff8892762460fdd0831acc73c0b300", 439, 4, 2, 2),
+    ("https://example.org/lists/00000019", 19L, "97e570b8d1fe5831a4e37771e5ed2ee0", 484, 4, 2, 0)
   )
 
   private def md5Hex(s: String): String =
