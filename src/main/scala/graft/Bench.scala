@@ -33,6 +33,9 @@ object Bench {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop any per-query persisted intermediates (q31/q32) so caches
+      // never leak memory pressure into the queries after them
+      spark.catalog.clearCache()
       (name, sec, n)
     }
 

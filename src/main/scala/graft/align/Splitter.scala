@@ -59,13 +59,14 @@ final class Splitter(val paragraphs: IndexedSeq[String]) {
     }
   }
 
-  /** Projected text running forward from split point, length `need`. */
+  /** Projected text running forward from split point, length `need`.
+    * Only the cut paragraph needs a fresh projection; the rest reuse the
+    * constructor's noSpace cache. */
   private def forwardSource(g: Int, c: Int, need: Int): String = {
     val sb = new StringBuilder
     var i = g
     while (i < paragraphs.length && sb.length < need) {
-      val p = if (i == g) paragraphs(i).drop(c) else paragraphs(i)
-      sb.append(removeSpecialChars(p))
+      sb.append(if (i == g) removeSpecialChars(paragraphs(i).drop(c)) else noSpace(i))
       i += 1
     }
     sb.toString.take(need)
@@ -78,8 +79,7 @@ final class Splitter(val paragraphs: IndexedSeq[String]) {
     var i = g
     var total = 0
     while (i >= 0 && total < need) {
-      val p = if (i == g) paragraphs(i).take(c) else paragraphs(i)
-      val cleaned = removeSpecialChars(p)
+      val cleaned = if (i == g) removeSpecialChars(paragraphs(i).take(c)) else noSpace(i)
       parts.prepend(cleaned)
       total += cleaned.length
       i -= 1
@@ -174,12 +174,37 @@ object Splitter {
       .replace("-", "")
       .toLowerCase
 
-  private def countRemoved(s: String): Int =
-    s.length - removeSpecialChars(s).length
+  /** The reference's weighted substring counts (splitter.py:136-164).
+    * NOTE: deliberately NOT "chars actually removed" — the reference
+    * counts overlapping patterns independently (e.g. "\\ " contributes
+    * 1 via " " plus 2 via "\\ " = 3 though only 2 chars vanish), and the
+    * fixpoint must reproduce that arithmetic to land on the same offsets.
+    */
+  private val weightedPatterns: Array[(String, Int)] = Array(
+    " " -> 1, "\\ " -> 2, "\n" -> 1, "*" -> 1, "_" -> 1, "^" -> 1,
+    "\\[" -> 2, "\\]" -> 2, "\\(" -> 2, "\\)" -> 2,
+    "\\right" -> 6, "\\left" -> 5, "\\sum" -> 3, // \sum→X: 4 chars net 3
+    "{" -> 1, "}" -> 1, "#" -> 1, "[REF]" -> 5, "[ENDREF]" -> 8,
+    "\\varphi" -> 3, "\\quad" -> 5, "\\qquad" -> 6,
+    "\\hskip" -> 6, "\\vskip" -> 6, "\\frac" -> 5, "\\rm" -> 3,
+    "\\," -> 2, "-" -> 1)
+
+  private def countRemoved(s: String): Int = {
+    var total = 0
+    var k = 0
+    while (k < weightedPatterns.length) {
+      val (pat, w) = weightedPatterns(k)
+      var i = s.indexOf(pat)
+      while (i >= 0) { total += w; i = s.indexOf(pat, i + pat.length) }
+      k += 1
+    }
+    total
+  }
 
   private val decoStart1 = "^[^\\w\\s]*_\\s".r
   private val decoStart2 = "^[^\\w\\s]*\\*\\*?\\s".r
-  private val anyNl = "(?s)^.\\n".r
+  private val anyNl = "^.\\n".r // '.' must NOT match \n (re.match semantics)
+  private val titleSkeleton = java.util.regex.Pattern.compile("#+\\s?\\d*\\s*")
   private val mathStart = "(?<!\\\\)\\\\[\\[\\(]".r
   private val mathEnd = "(?<!\\\\)\\\\[\\])]".r
 
@@ -209,7 +234,8 @@ object Splitter {
       val prefix = s.substring(0, cut)
       // python re.match(r"#+\s?\d*\s*$") — the WHOLE prefix is a bare
       // section-heading skeleton → retreat before it
-      val titleLen = if (prefix.nonEmpty && prefix.matches("#+\\s?\\d*\\s*")) prefix.length else 0
+      val titleLen =
+        if (prefix.nonEmpty && titleSkeleton.matcher(prefix).matches()) prefix.length else 0
       if (rest.startsWith("\\]") || rest.startsWith("\\)")) add += 2
       else if ((rest.startsWith(")") || rest.startsWith("]")) && prefix.endsWith("\\")) add += 1
       else if ((rest.startsWith("(") || rest.startsWith("[")) && prefix.endsWith("\\")) add -= 1

@@ -51,7 +51,23 @@ object ScalingBench {
     * a level. */
   val partitions = 192
 
-  private def corpusPath(nPages: Long) = s"/tmp/graft_scale_corpus_$nPages.parquet"
+  /** Fingerprint of the CURRENT generator: a stale cached corpus from an
+    * older SyntheticCorpus must not silently survive generator changes,
+    * or the published numbers stop corresponding to the committed code. */
+  private lazy val genFingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0L
+    while (i < 24) {
+      val p = graft.gen.SyntheticCorpus.pageFor(42L, i)
+      md.update(p.url.getBytes("UTF-8"))
+      md.update(p.html)
+      i += 1
+    }
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
+  private def corpusPath(nPages: Long) =
+    s"/tmp/graft_scale_corpus_${nPages}_$genFingerprint.parquet"
 
   /** Materialize the synthetic corpus once (untimed); every timed run
     * reads these bytes back from the OS page cache. */

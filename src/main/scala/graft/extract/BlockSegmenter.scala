@@ -133,7 +133,11 @@ object BlockSegmenter {
         }
       case "ul" | "ol" if bibContext || isBibList(el) =>
         // reference lists bypass the link-density filter: bib entries are
-        // legitimately link-dense (DOI/arXiv anchors)
+        // legitimately link-dense (DOI/arXiv anchors). A heading-announced
+        // bibliography is ONE list — consume the context so a later nav
+        // list before the next heading is not mistaken for references
+        // (lists that carry bib classes stay recognizable on their own)
+        bibContext = false
         val b = buildRefList(el, ids)
         if (b.items.nonEmpty) emit(b, true)
       case "ul" | "ol" =>

@@ -16,6 +16,8 @@ import graft.align.{PageAligner, Staircase}
   */
 object AlignQueries {
 
+  private val pFirstWord = java.util.regex.Pattern.compile("^(\\S+)")
+
   /** Staircase fit over deterministic noisy label streams derived from
     * the events table: each user's ordered event stream gets a monotone
     * page signal with hash-seeded label noise; the fit must recover
@@ -77,7 +79,7 @@ object AlignQueries {
           // doc-side copy with markup noise: bold the first word of
           // every other paragraph — removeSpecialChars must see through
           val doc = paras.zipWithIndex.map { case (p, i) =>
-            if (i % 2 == 1) p.replaceFirst("^(\\S+)", "**$1**") else p
+            if (i % 2 == 1) pFirstWord.matcher(p).replaceFirst("**$1**") else p
           }
           val a = PageAligner.align(pages, doc)
           val expected = pages.indices.map(i => i * perPage)

@@ -64,9 +64,14 @@ object CorpusQueries {
       out AS (SELECT doc_id, count(*) AS n_kept,
                      string_agg(line, chr(10) ORDER BY pos) AS cleaned
               FROM kept GROUP BY doc_id)
-      SELECT doc_id, n_kept, CAST(length(cleaned) AS INT) AS clean_len,
-             md5(cleaned) AS clean_md5
-      FROM out ORDER BY doc_id
+      -- a fully-templated doc must survive as an empty row (the Spark
+      -- side re-adds it via left join), not vanish from the output
+      SELECT a.doc_id,
+             coalesce(o.n_kept, 0) AS n_kept,
+             CAST(length(coalesce(o.cleaned, '')) AS INT) AS clean_len,
+             md5(coalesce(o.cleaned, '')) AS clean_md5
+      FROM aug a LEFT JOIN out o ON a.doc_id = o.doc_id
+      ORDER BY a.doc_id
     """.trim)
   )
 

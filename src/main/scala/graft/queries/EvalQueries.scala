@@ -112,9 +112,11 @@ object EvalQueries {
     },
     Some(s"""
       WITH t AS (
+        -- list_filter drops the [''] artifact regexp_split yields on
+        -- empty input, matching the Spark tokenizer's nonEmpty filter
         SELECT doc_id,
-               regexp_split_to_array(lower(trim(text)), '\\s+') AS rt,
-               regexp_split_to_array(lower($predSqlDuck), '\\s+') AS ht
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS rt,
+               list_filter(regexp_split_to_array(lower($predSqlDuck), '\\s+'), x -> x <> '') AS ht
         FROM documents),
       h AS (SELECT doc_id, unnest(ht) AS w, unnest(generate_series(1, len(ht))) AS pos FROM t),
       r AS (SELECT doc_id, unnest(rt) AS w, unnest(generate_series(1, len(rt))) AS pos FROM t),

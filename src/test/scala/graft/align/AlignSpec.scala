@@ -31,6 +31,18 @@ class AlignSpec extends AnyFunSuite {
     assert(Splitter.countSpecialChars("**ab** cd", 2) == 5)
   }
 
+  test("countSpecialChars matches the reference's overlap-counting arithmetic") {
+    // vectors computed by running the reference's literal logic
+    // (splitter.py:128-211): "\\ " counts 3 (once via ' ', twice via
+    // "\\ ") though only 2 chars vanish; '.' never matches '\n' in the
+    // trailing-decoration rule; the end-clamp caps overshoot
+    assert(Splitter.countSpecialChars("\\ abc", 2) == 2)
+    assert(Splitter.countSpecialChars("a \\ b cdef", 3) == 5)
+    assert(Splitter.countSpecialChars("word\n\nmore", 4) == 0)
+    assert(Splitter.countSpecialChars("x\n\ny z", 1) == 0)
+    assert(Splitter.countSpecialChars("ab \\, cd ef", 4) == 5)
+  }
+
   // --- Splitter search -----------------------------------------------------
 
   private val paras = IndexedSeq(

@@ -68,6 +68,16 @@ class ReferencesSpec extends AnyFunSuite {
     assert(d.markdown.contains("* [1] First entry text here."))
   }
 
+  test("a nav list AFTER the bibliography is not mistaken for references") {
+    val d = extract(
+      """<html><body><article><h2>References</h2>
+        |<ol><li>Real entry one text.</li><li>Real entry two text.</li></ol>
+        |<ul><li><a href="/home">Home</a></li><li><a href="/about">About</a></li></ul>
+        |</article></body></html>""".stripMargin)
+    assert(d.references.length == 2)
+    assert(!d.markdown.contains("Home"))
+  }
+
   test("an ordinary list after a non-references heading is untouched") {
     val d = extract(
       """<html><body><article><h2>Methods</h2>
