@@ -310,6 +310,9 @@ object SpanReinserter {
   def reinsert(s: Serialized): (String, Vector[Span]) = reinsert(s.markdown, s.bodies)
 
   def reinsert(md: String, bodies: Vector[SpanBody]): (String, Vector[Span]) = {
+    // marker-free docs (no math/table/figure spans — most web pages) skip
+    // the regex scan entirely
+    if (md.indexOf('\uE000') < 0) return (md, Vector.empty)
     val m = markerRe.matcher(md)
     val sb = new java.lang.StringBuilder(md.length + 64)
     val spans = new ArrayBuffer[Span](bodies.length)

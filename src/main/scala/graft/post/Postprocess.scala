@@ -380,13 +380,37 @@ object Postprocess {
     var bracketEq = false; var beginEnv = false; var tabular = false; var leftmargin = false
     var endEnv = false; var bulletLine = false; var midBullet = false
     var footnote = false; var refMarker = false
+    // per-heading-line classification: each flag is a conservative
+    // superset of its regex's match condition, so the three '#' regexes
+    // below run only on documents that can actually match
+    var longTitleCand = false; var numHeaderCand = false
+    var hashLineCand = false; var hashAfterSpace = false
     var i = 0
     var prev = '\n'
     var prev2 = '\n'
     while (i < s.length) {
       val c = s.charAt(i)
       c match {
-        case '#' => hash = true
+        case '#' =>
+          hash = true
+          if (prev == '\n') {
+            var j = i
+            while (j < s.length && s.charAt(j) == '#') j += 1
+            var eol = s.indexOf('\n', j)
+            if (eol < 0) eol = s.length
+            if (eol - j >= 100) longTitleCand = true
+            var k = j
+            var only = true
+            while (k < eol && only) {
+              val ch = s.charAt(k)
+              if (ch != ' ' && ch != '\t' && ch != '#') only = false
+              k += 1
+            }
+            if (only) hashLineCand = true
+            var m = j
+            while (m < eol && s.charAt(m) == ' ') m += 1
+            if (m < eol && (s.charAt(m).isDigit || s.charAt(m) == '.')) numHeaderCand = true
+          } else if (prev == ' ' || prev == '\t') hashAfterSpace = true
         case '.' => if (prev == '\n') dotLine = true
         case '\n' =>
           if (prev == ' ' || prev == '\t') trailWs = true
@@ -418,15 +442,20 @@ object Postprocess {
     if (prev == ' ' || prev == '\t') trailWs = true
   }
 
+  /** Test hook: the '#'-regex gate flags (longTitle, numHeader, hashLine,
+    * hashAfterSpace) for soundness property tests. */
+  private[post] def headingGates(s: String): (Boolean, Boolean, Boolean, Boolean) = {
+    val f = new Feat(s)
+    (f.longTitleCand, f.numHeaderCand, f.hashLineCand, f.hashAfterSpace)
+  }
+
   def postprocessSingle(md0: String, markdownFix: Boolean = true): Result = {
     var md = md0
     val f = new Feat(md)
     // >100-char titles are not titles (postprocessing.py:343-345);
     // numeral-only headers (postprocessing.py:352-356)
-    if (f.hash) {
-      md = pLongTitle.matcher(md).replaceAll("$1")
-      md = pNumHeader.matcher(md).replaceAll("")
-    }
+    if (f.longTitleCand) md = pLongTitle.matcher(md).replaceAll("$1")
+    if (f.numHeaderCand) md = pNumHeader.matcher(md).replaceAll("")
     // itemize artifact (postprocessing.py:347)
     if (f.leftmargin) md = md.replace("[leftmargin=*]\n", "")
     // hallucinated trailing title (postprocessing.py:349-356)
@@ -453,7 +482,7 @@ object Postprocess {
     // repeated bold "S. A. B." hallucination (postprocessing.py:477)
     md = RepairStages.sabSpam(md)
     // lone '#' or '.' lines (postprocessing.py:478-481)
-    if (f.hash) md = pHashLine.matcher(md).replaceAll("")
+    if (f.hashLineCand || f.hashAfterSpace) md = pHashLine.matcher(md).replaceAll("")
     if (f.dotLine) md = pDotLine.matcher(md).replaceAll("")
     if (f.beginEnv) md = closeEnvs(md)
     if (f.trailWs || wasTruncated || sliced.slicesRemoved > 0)

@@ -81,6 +81,30 @@ class PostprocessPropSpec extends AnyFunSuite {
     })
   }
 
+  test("property: '#'-regex gates are sound (a match implies its flag)") {
+    // the Feat candidate flags must never skip a regex that would match:
+    // pattern.find(s) ⇒ flag(s). Over-triggering is harmless (the regex
+    // just runs and finds nothing); under-triggering silently changes
+    // semantics, which is what this property guards.
+    val pLong = java.util.regex.Pattern.compile("(?m)^#{1,6} {0,3}(.{100,})$")
+    val pNum = java.util.regex.Pattern.compile("(?m)^#{1,6} {0,3}[\\d.]+ *$\n?")
+    val pHashL = java.util.regex.Pattern.compile("(?m)^[#\\s]*#+ *$\n?")
+    val lineGen = Gen.oneOf(
+      Gen.const("## 1.2 "), Gen.const("##"), Gen.const("  ## "),
+      Gen.const("#\t#"), Gen.const("# " + "t" * 120),
+      Gen.const("####### " + "x" * 105), Gen.const("body text here."),
+      Gen.const("item #4 mid-line"), Gen.const("# 2024 results"),
+      Gen.const("# .5"), Gen.const("#. "), Gen.const(" \t## "),
+      Gen.const("### 1."), Gen.const(""))
+    val docGen = Gen.listOf(lineGen).map(_.mkString("\n"))
+    check(Prop.forAll(docGen) { s =>
+      val (longT, numH, hashL, spaceH) = Postprocess.headingGates(s)
+      (!pLong.matcher(s).find() || longT) &&
+      (!pNum.matcher(s).find() || numH) &&
+      (!pHashL.matcher(s).find() || hashL || spaceH)
+    })
+  }
+
   test("property: boundedSim agrees with exact lineSimilarity at the 0.9 gate") {
     val lineGen = Gen.listOfN(12, Gen.alphaChar).map(_.mkString)
     val g = for { a <- lineGen; b <- lineGen } yield (a, b)
