@@ -334,4 +334,35 @@ object SpanReinserter {
 
   /** Remove any marker bytes without reinsertion (defensive cleanup). */
   def stripMarkers(md: String): String = markerRe.matcher(md).replaceAll("")
+
+  /** Kind-selective splice: markers whose body satisfies `splice` are
+    * reinserted with offsets; the rest are REMOVED and their body indices
+    * returned (the page-assembly contract: figure/table bodies re-attach
+    * by caption match instead of splicing in place —
+    * split_md_to_pages.py:409-445).
+    */
+  def reinsertWhere(md: String, bodies: Vector[SpanBody],
+                    splice: SpanBody => Boolean): (String, Vector[Span], Vector[Int]) = {
+    if (md.indexOf('') < 0) return (md, Vector.empty, Vector.empty)
+    val m = markerRe.matcher(md)
+    val sb = new java.lang.StringBuilder(md.length + 64)
+    val spans = new ArrayBuffer[Span](4)
+    val removed = new ArrayBuffer[Int](4)
+    var last = 0
+    while (m.find()) {
+      sb.append(md, last, m.start)
+      val idx = m.group(1).toInt
+      if (idx < bodies.length) {
+        val b = bodies(idx)
+        if (splice(b)) {
+          val start = sb.length
+          sb.append(b.body)
+          spans += Span(b.kind, b.id, start, sb.length, b.body)
+        } else removed += idx
+      }
+      last = m.end
+    }
+    sb.append(md, last, md.length)
+    (sb.toString, spans.toVector, removed.toVector)
+  }
 }
