@@ -33,6 +33,21 @@ object EventStreams {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup for an incremental page/document feed: the
+    * FIRST arrival of a content hash within the watermark horizon wins;
+    * later duplicates drop. `dropDuplicatesWithinWatermark` expires the
+    * hash state automatically once the watermark passes, so state stays
+    * bounded at crawl scale — the streaming twin of the batch q18 exact
+    * dedup (and of R2's skip-if-seen semantics).
+    */
+  def dedupStream(pages: DataFrame, textCol: String = "text",
+                  tsCol: String = "ts", horizon: String = "10 minutes"): DataFrame =
+    pages
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("content_hash", xxhash64(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Custom session state via flatMapGroupsWithState: a user's session
     * closes after `gapMs` of inactivity — either when a later event
     * arrives past the gap, or when the processing-time timeout fires

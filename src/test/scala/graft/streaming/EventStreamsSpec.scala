@@ -51,4 +51,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.user_id == 1 && s.n_events == 3 && s.total_value == 3.0)
     assert(s.started_ms == 0 && s.last_ms == 20 * 60000L)
   }
+
+  test("streaming exact dedup: first content-hash arrival wins across batches") {
+    import spark.implicits._
+    // two parquet files → two triggers; duplicates appear both inside a
+    // batch and ACROSS batches (the state-store path)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    def rows(ids: Seq[(Long, String, Long)]) = ids.toDF("doc_id", "text", "minute")
+      .select(col("doc_id"), col("text"),
+        (col("minute") * 60000L).cast("timestamp").as("ts"))
+    rows(Seq((1L, "alpha", 0L), (2L, "beta", 1L), (3L, "alpha", 2L)))
+      .coalesce(1).write.parquet(dir.toString + "/f1")
+    rows(Seq((4L, "beta", 3L), (5L, "gamma", 4L)))
+      .coalesce(1).write.parquet(dir.toString + "/f2")
+    // stage as a flat dir of files for the stream source
+    val flat = java.nio.file.Files.createTempDirectory("dedup_flat")
+    Seq("f1", "f2").zipWithIndex.foreach { case (f, i) =>
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$f"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, flat.resolve(s"part$i.parquet"))
+    }
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = EventStreams.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.awaitTermination(60000); q.stop()
+    val out = spark.table("dedup_out").select("text").as[String].collect().sorted
+    // one row per distinct content: alpha, beta, gamma
+    assert(out.toSeq == Seq("alpha", "beta", "gamma"))
+  }
 }
