@@ -62,7 +62,11 @@ object PageAssembler {
       AssembledPage(text, spans)
     }.toArray
 
-    // 2) caption-matched reattachment of figure/table bodies
+    // 2) caption-matched reattachment of figure/table bodies.
+    // Deliberately NO used-body exclusion: the reference runs an
+    // independent argmax per caption (split_md_to_pages.py:421-433), so
+    // one body CAN attach to several pages when captions are near-equal
+    // — reproduced faithfully rather than "fixed"
     val attachable = bodies.zipWithIndex.filter { case (b, _) => !isInline(b) }
     if (attachable.nonEmpty) {
       captions.foreach { cap =>

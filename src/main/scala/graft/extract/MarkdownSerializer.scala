@@ -310,26 +310,8 @@ object SpanReinserter {
   def reinsert(s: Serialized): (String, Vector[Span]) = reinsert(s.markdown, s.bodies)
 
   def reinsert(md: String, bodies: Vector[SpanBody]): (String, Vector[Span]) = {
-    // marker-free docs (no math/table/figure spans — most web pages) skip
-    // the regex scan entirely
-    if (md.indexOf('\uE000') < 0) return (md, Vector.empty)
-    val m = markerRe.matcher(md)
-    val sb = new java.lang.StringBuilder(md.length + 64)
-    val spans = new ArrayBuffer[Span](bodies.length)
-    var last = 0
-    while (m.find()) {
-      sb.append(md, last, m.start)
-      val idx = m.group(1).toInt
-      if (idx < bodies.length) {
-        val b = bodies(idx)
-        val start = sb.length
-        sb.append(b.body)
-        spans += Span(b.kind, b.id, start, sb.length, b.body)
-      }
-      last = m.end
-    }
-    sb.append(md, last, md.length)
-    (sb.toString, spans.toVector)
+    val (text, spans, _) = reinsertWhere(md, bodies, _ => true)
+    (text, spans)
   }
 
   /** Remove any marker bytes without reinsertion (defensive cleanup). */

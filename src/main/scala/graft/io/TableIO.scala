@@ -62,6 +62,27 @@ object TableIO {
     Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Replace-commit for full-recompute tables (ScrubJob): publish the
+    * staged batch, then drop every OLDER batch — readers see either the
+    * old table or (after the atomic rename) old+new for the instant
+    * before the sweep, never a partial batch. The new batch id is always
+    * the max, so a reader pinned to max(batch) is fully consistent.
+    */
+  def replaceData(root: String, batchId: String): Unit = {
+    commitBatch(root, batchId)
+    val d = Paths.get(dataPath(root))
+    val s = Files.list(d)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("batch=") && name != s"batch=$batchId")
+          deleteRecursively(p)
+      }
+    } finally s.close()
+  }
+
   def readData(spark: SparkSession, root: String): Option[DataFrame] = {
     val d = Paths.get(dataPath(root))
     if (!Files.isDirectory(d)) None

@@ -20,6 +20,16 @@ import graft.io.TableIO
   * high-cardinality composites; nothing collects to the driver except
   * the summary counts.
   *
+  * Semantics, deliberately different from ExtractJob's append+resume:
+  *  - template frequencies are CORPUS-level, so new input pages change
+  *    what counts as template on already-scrubbed pages — a rerun is a
+  *    full recompute that REPLACES the previous output (no anti-join
+  *    resume, no duplicate batches);
+  *  - the output is a text-level corpus view (url, host, n_kept,
+  *    markdown): span offsets from the extract table are invalidated by
+  *    line removal and are intentionally NOT carried — span consumers
+  *    read the extract table, text consumers read this one.
+  *
   * Usage: ScrubJob --in <extractOut> --out <dir> [--ratio 0.4]
   *        [--buckets B] [--cores N]
   */
@@ -28,7 +38,7 @@ object ScrubJob {
   final case class Summary(batchId: String, docs: Long, hosts: Long,
                            templateLines: Long, wallSec: Double)
 
-  private val hostRe = "^[a-z]+://([^/]+)"
+  private val hostRe = "(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)"
 
   def run(spark: SparkSession, inDir: String, outDir: String,
           minPageRatio: Double = 0.4, nBuckets: Int = 8): Summary = {
@@ -36,18 +46,21 @@ object ScrubJob {
     TableIO.clearStaging(outDir)
     val batchId = TableIO.nextBatchId(outDir)
 
+    // host normalization: case-folded authority; a url with no parsable
+    // host becomes its OWN pseudo-host — unrelated malformed urls must
+    // never pool into one "" host whose shared lines look like templates
+    val hostExpr = lower(regexp_extract(col("url"), hostRe, 1))
     val docs = TableIO.readData(spark, inDir)
       .getOrElse(throw new IllegalArgumentException(s"no extract output at $inDir"))
       .filter(col("ok"))
       .select(col("url"), col("markdown"))
-      .withColumn("host", regexp_extract(col("url"), hostRe, 1))
+      .withColumn("host", when(hostExpr === "", col("url")).otherwise(hostExpr))
 
     // the template set is computed once and reused by the report —
     // small (per-host boilerplate), safe to cache
     val boiler = TemplateScrub.boilerplateLines(docs, "host", "url", "markdown",
       minPageRatio).cache()
     val nTemplates = boiler.count()
-    val nHosts = docs.select("host").distinct().count()
 
     val scrubbed = TemplateScrub.scrub(docs, "host", "url", "markdown", minPageRatio)
       .select(col("id").as("url"), col("h").as("host"),
@@ -56,9 +69,14 @@ object ScrubJob {
 
     val staging = TableIO.stagingDir(outDir, batchId)
     scrubbed.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    val nDocs = spark.read.schema(scrubbed.schema).parquet(staging).count()
+    // summary stats come from the (already written) staged output — no
+    // second scan of the full input
+    val staged = spark.read.schema(scrubbed.schema).parquet(staging)
+    val stats = staged.agg(count(lit(1)), countDistinct(col("host"))).head()
+    val (nDocs, nHosts) = (stats.getLong(0), stats.getLong(1))
     boiler.unpersist()
-    TableIO.commitBatch(outDir, batchId)
+    // corpus-level recompute: REPLACE any previous output, never append
+    TableIO.replaceData(outDir, batchId)
     Summary(batchId, nDocs, nHosts, nTemplates, (System.nanoTime() - t0) / 1e9)
   }
 

@@ -398,19 +398,23 @@ object Postprocess {
             while (j < s.length && s.charAt(j) == '#') j += 1
             var eol = s.indexOf('\n', j)
             if (eol < 0) eol = s.length
-            if (eol - j >= 100) longTitleCand = true
+            // pLongTitle consumes at most 6 '#'s: hashes beyond the sixth
+            // count toward the 100-char title group
+            if (eol - (i + math.min(6, j - i)) >= 100) longTitleCand = true
             var k = j
             var only = true
             while (k < eol && only) {
               val ch = s.charAt(k)
-              if (ch != ' ' && ch != '\t' && ch != '#') only = false
+              // any whitespace is fine: pHashLine's [#\s]* and Java's
+              // $-before-terminator admit \r, \f, vertical tab
+              if (ch != '#' && !Character.isWhitespace(ch)) only = false
               k += 1
             }
             if (only) hashLineCand = true
             var m = j
             while (m < eol && s.charAt(m) == ' ') m += 1
             if (m < eol && (s.charAt(m).isDigit || s.charAt(m) == '.')) numHeaderCand = true
-          } else if (prev == ' ' || prev == '\t') hashAfterSpace = true
+          } else if (Character.isWhitespace(prev)) hashAfterSpace = true
         case '.' => if (prev == '\n') dotLine = true
         case '\n' =>
           if (prev == ' ' || prev == '\t') trailWs = true

@@ -44,7 +44,9 @@ object EventStreams {
                   tsCol: String = "ts", horizon: String = "10 minutes"): DataFrame =
     pages
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
-      .withColumn("content_hash", xxhash64(col(textCol)))
+      // 128-bit md5 like the batch q18 twin — a 64-bit key would drop a
+      // distinct colliding page silently at crawl scale
+      .withColumn("content_hash", md5(to_binary(col(textCol), lit("utf-8"))))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 

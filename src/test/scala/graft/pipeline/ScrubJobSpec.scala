@@ -47,6 +47,38 @@ class ScrubJobSpec extends AnyFunSuite {
     assert(b.count() == 4)
   }
 
+  test("rerun REPLACES the output (full recompute, never duplicate batches)") {
+    val in = writeExtractOut()
+    val out = tmp()
+    ScrubJob.run(spark, in, out)
+    val s2 = ScrubJob.run(spark, in, out)
+    val data = TableIO.readData(spark, out).get
+    assert(data.count() == 12, "rerun must not append a duplicate corpus")
+    assert(data.select("url").distinct().count() == 12)
+    assert(s2.docs == 12)
+  }
+
+  test("unparsable urls become their own pseudo-host (no '' pooling)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("HTTP://UPPER.org/x", "Shared line\nprose one", true),
+      ("//proto-relative.example/y", "Shared line\nprose two", true),
+      ("garbage-url", "Shared line\nprose three", true))
+    val in = tmp()
+    val b = "b00001"
+    rows.toDF("url", "markdown", "ok").write.parquet(TableIO.stagingDir(in, b))
+    TableIO.commitBatch(in, b)
+    val out = tmp()
+    val s = ScrubJob.run(spark, in, out)
+    // uppercase scheme parses (case-folded host); the other two become
+    // their own pseudo-hosts — "Shared line" must survive everywhere
+    // (no host has 2+ pages)
+    assert(s.templateLines == 0)
+    val data = TableIO.readData(spark, out).get
+    assert(data.filter(col("markdown").contains("Shared line")).count() == 3)
+    assert(data.filter(col("host") === "upper.org").count() == 1)
+  }
+
   test("scrub job fails cleanly on a missing input table") {
     intercept[IllegalArgumentException] {
       ScrubJob.run(spark, tmp(), tmp())

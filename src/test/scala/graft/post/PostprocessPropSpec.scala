@@ -95,7 +95,11 @@ class PostprocessPropSpec extends AnyFunSuite {
       Gen.const("####### " + "x" * 105), Gen.const("body text here."),
       Gen.const("item #4 mid-line"), Gen.const("# 2024 results"),
       Gen.const("# .5"), Gen.const("#. "), Gen.const(" \t## "),
-      Gen.const("### 1."), Gen.const(""))
+      Gen.const("### 1."), Gen.const(""),
+      // adversarial: >6-'#' runs count extra hashes toward the title
+      // group; \r / \f / vertical-tab around '#' ride pHashLine's \s
+      Gen.const("#" * 50 + "x" * 60), Gen.const("##\r"),
+      Gen.const("\f## "), Gen.const("#"), Gen.const("#" * 8))
     val docGen = Gen.listOf(lineGen).map(_.mkString("\n"))
     check(Prop.forAll(docGen) { s =>
       val (longT, numH, hashL, spaceH) = Postprocess.headingGates(s)
