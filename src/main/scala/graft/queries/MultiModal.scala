@@ -53,6 +53,30 @@ object MultiModal {
     MediaMeta(docId, w, h, f, blob.length, feat, decode_ok = true)
   }
 
+  /** STUB resize: recomputes the header for the target geometry and
+    * re-emits the payload untouched (a real codec would resample pixels;
+    * the Spark-side contract — pure function of (blob, w, h), new header,
+    * deterministic output — is what downstream stages depend on).
+    */
+  def resizeStub(blob: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    if (blob == null || blob.length < 12) return blob
+    val out = java.util.Arrays.copyOf(blob, blob.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+    bb.putShort(4, width.toShort)
+    bb.putShort(6, height.toShort)
+    out
+  }
+
+  /** STUB frame sampler: every k-th frame index of a media blob (the
+    * rasterize/frame-extract batch shape — one input row explodes into
+    * bounded frame rows; a real codec would decode each frame's pixels).
+    */
+  def sampleFrames(docId: Long, blob: Array[Byte], everyK: Int): Seq[(Long, Int)] = {
+    val meta = decodeStub(docId, blob)
+    if (!meta.decode_ok || everyK <= 0) Seq.empty
+    else (0 until meta.frames by everyK).map(f => (docId, f))
+  }
+
   /** Binary metadata projection with a DuckDB oracle: byte length and
     * content hash of the BINARY column plus arithmetic "header" fields.
     */
@@ -134,5 +158,30 @@ object MultiModal {
     """.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(q26BinaryMeta, qxMediaFeatures, q36Pt2Px)
+  /** Frame sampling through the stub codec: one media row explodes into
+    * its every-5th frame indices (the doc→pages/frames flatMap shape,
+    * rasterize.py analog). The header's frame count is pure arithmetic
+    * (1 + doc_id % 30), so DuckDB reproduces the expansion bit-exactly —
+    * the oracle checks the real decode→explode plumbing, not a fixture.
+    */
+  val q37FrameSample = QueryDef(
+    "q37_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          sampleFrames(id, fakeMediaBlob(id, text), everyK = 5)
+        })
+        .toDF("doc_id", "frame_idx")
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      SELECT doc_id, CAST(unnest(generate_series(0, CAST(doc_id % 30 AS INT), 5)) AS INT) AS frame_idx
+      FROM documents ORDER BY doc_id, frame_idx
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q26BinaryMeta, qxMediaFeatures, q36Pt2Px, q37FrameSample)
 }

@@ -24,4 +24,26 @@ class MultiModalSpec extends AnyFunSuite {
     val b = decodeStub(7L, fakeMediaBlob(7L, "abc def"))
     assert(a.feature.toSeq == b.feature.toSeq)
   }
+
+  test("resize stub rewrites geometry, preserves payload") {
+    import graft.queries.MultiModal._
+    val blob = fakeMediaBlob(7L, "payload text")
+    val r = resizeStub(blob, 320, 240)
+    val m = decodeStub(7L, r)
+    assert(m.decode_ok && m.width == 320 && m.height == 240)
+    // payload untouched
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(blob, 12, blob.length),
+      java.util.Arrays.copyOfRange(r, 12, r.length)))
+    // garbage in, garbage out (no throw)
+    assert(resizeStub(Array[Byte](1, 2), 10, 10).length == 2)
+  }
+
+  test("frame sampler explodes every k-th frame, isolates bad blobs") {
+    import graft.queries.MultiModal._
+    val blob = fakeMediaBlob(12L, "x") // frames = 1 + 12 % 30 = 13
+    assert(sampleFrames(12L, blob, 5).map(_._2) == Seq(0, 5, 10))
+    assert(sampleFrames(12L, Array[Byte](9), 5).isEmpty)
+    assert(sampleFrames(12L, blob, 0).isEmpty)
+  }
 }
