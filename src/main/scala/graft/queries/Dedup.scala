@@ -237,6 +237,96 @@ object Dedup {
     """.trim)
   )
 
+  /** Verified near-dup edges over a corpus: LSH candidate pairs whose
+    * token-set Jaccard clears `jmilliMin` per-mille. */
+  private def verifiedPairs(s: SparkSession, d: DataFrame, jmilliMin: Long): DataFrame = {
+    val bands = bandsDf(sigDf(s, d))
+    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2")), Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val t = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+    cand
+      .join(t.select(col("doc_id").as("id1"), col("tk").as("tk1")), "id1")
+      .join(t.select(col("doc_id").as("id2"), col("tk").as("tk2")), "id2")
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))))
+      .withColumn("uni", size(col("tk1")) + size(col("tk2")) - col("inter"))
+      .filter(floor(col("inter") * 1000 / col("uni")) >= jmilliMin)
+      .select("id1", "id2")
+  }
+
+  /** Dedup CLUSTERING: connected components over the verified near-dup
+    * graph — the step a real pipeline runs before dropping duplicates
+    * (every member maps to the component's min doc_id; the canonical doc
+    * is its own cluster_id). Spark side: iterative min-label propagation
+    * (join + groupBy-min per round, converges in component-diameter
+    * rounds; the 100 TB upgrade is the standard large-star/small-star
+    * alternation, same join shapes). Oracle: DuckDB recursive-CTE
+    * transitive closure — min reachable id is provably the same fixpoint,
+    * so even the iterative algorithm gets a bit-exact cross-engine check.
+    */
+  val q38DedupClusters = QueryDef(
+    "q38_dedup_clusters",
+    (s, dir) => {
+      val d = dupCorpus(s, dir)
+      val pairs = verifiedPairs(s, d, 800L)
+      val sym = pairs.unionAll(
+        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .toDF("src", "dst").cache()
+      var lab = d.select(col("doc_id").as("id"))
+        .withColumn("label", col("id")).cache()
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < 16) {
+        val nbr = sym.join(lab.select(col("id").as("dst"), col("label").as("dl")), "dst")
+          .groupBy(col("src").as("id")).agg(min("dl").as("nmin"))
+        val next = lab.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .cache()
+        changed = next.join(lab.select(col("id"), col("label").as("old")), "id")
+          .filter(col("label") =!= col("old")).count()
+        lab.unpersist()
+        lab = next
+        iter += 1
+      }
+      sym.unpersist()
+      lab.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE dup AS ($dupCorpusSql),
+      t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM dup),
+      s AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM t WHERE len(tk) >= 3),
+      sig AS (SELECT doc_id,
+             ${minhashSqlCols("sh")}
+      FROM s WHERE len(sh) > 0),
+      bands AS (
+        SELECT 0 AS band, mh0 * $P + mh1 AS bkey, doc_id FROM sig UNION ALL
+        SELECT 1, mh2 * $P + mh3, doc_id FROM sig UNION ALL
+        SELECT 2, mh4 * $P + mh5, doc_id FROM sig UNION ALL
+        SELECT 3, mh6 * $P + mh7, doc_id FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      tt AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tk FROM dup),
+      p AS (SELECT id1, id2,
+                   len(list_filter(t1.tk, x -> list_contains(t2.tk, x))) AS inter,
+                   len(t1.tk) AS n1, len(t2.tk) AS n2
+            FROM cand JOIN tt t1 ON id1 = t1.doc_id JOIN tt t2 ON id2 = t2.doc_id),
+      pairs AS (SELECT id1, id2 FROM p WHERE (1000 * inter) // (n1 + n2 - inter) >= 800),
+      sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM dup
+        UNION
+        SELECT r.a, s2.dst FROM reach r JOIN sym s2 ON r.b = s2.src)
+      SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    q18ExactDedup, q19MinhashSig, q20LshBuckets, q21Simhash, q22JaccardPairs)
+    q18ExactDedup, q19MinhashSig, q20LshBuckets, q21Simhash, q22JaccardPairs,
+    q38DedupClusters)
 }
