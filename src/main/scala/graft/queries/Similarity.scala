@@ -291,6 +291,96 @@ object Similarity {
     """.trim)
   )
 
+  /** ANN quality evaluation: recall@5 of the IVF-routed search against
+    * the exact brute-force top-5 — THE standard ANN metric, answering
+    * "what did probe-2 over ⌈√n⌉ cells cost in accuracy". The exact
+    * baseline broadcasts the (sampled) query side against all candidates
+    * — an eval-only pass over a query SAMPLE, not the corpus × corpus
+    * join. Ranking ties break on (cos6 desc, nid) on both engines, so
+    * the whole evaluation is bit-exact against DuckDB.
+    */
+  val q39AnnRecall = QueryDef(
+    "q39_ann_recall",
+    (s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      val cents = broadcast(centroidArray(e, k))
+      val assigned = e.crossJoin(cents)
+        .withColumn("best", top2Cells(col("embedding"), col("cents")))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("c1").as("home"),
+          array(col("best").getField("c1"), col("best").getField("c2")).as("probes"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist()
+      val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
+        col("embedding").as("ne"), col("nrm").as("cn"))
+      val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+      val qsP = assigned.filter(col("vec_id") % 100 === 4)
+        .select(col("vec_id").as("qid"), explode(col("probes")).as("pcell"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val ivf = qsP.join(cands, col("pcell") === col("ncell") && col("qid") =!= col("nid"))
+        .withColumn("cos6", round(cos, 6))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"))
+      val qsE = assigned.filter(col("vec_id") % 100 === 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val exact = cands.join(broadcast(qsE), col("qid") =!= col("nid"))
+        .withColumn("cos6", round(cos, 6))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"))
+      val hits = exact.as("x")
+        .join(ivf.as("y"), col("x.qid") === col("y.qid") && col("x.nid") === col("y.nid"))
+        .groupBy(col("x.qid").as("qid")).agg(count(lit(1)).as("hits"))
+      qsE.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
+        .orderBy("qid")
+    },
+    Some("""
+      WITH nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn WHERE vec_id < k),
+      d AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 6) AS d26
+            FROM embeddings e CROSS JOIN c),
+      rkd AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
+              FROM d),
+      home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1),
+      probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 2),
+      qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 4),
+      qs AS (SELECT p.vec_id AS qid, p.cell AS pcell, e.embedding AS qe
+             FROM probes p JOIN embeddings e ON p.vec_id = e.vec_id
+             WHERE p.vec_id % 100 = 4),
+      cands AS (SELECT h.vec_id AS nid, h.cell AS ncell, e.embedding AS ne
+                FROM home h JOIN embeddings e ON h.vec_id = e.vec_id),
+      ivf AS (SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
+        FROM (SELECT qid, nid,
+          round(
+            list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(generate_series(1, len(ne)), i -> CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))))), 6) AS cos6
+          FROM qs JOIN cands ON pcell = ncell AND qid <> nid) a) b WHERE rk <= 5),
+      ext AS (SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
+        FROM (SELECT q.qid, c2.nid,
+          round(
+            list_sum(list_transform(generate_series(1, len(q.qe)), i -> CAST(q.qe[i] AS DOUBLE) * CAST(c2.ne[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(generate_series(1, len(q.qe)), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(generate_series(1, len(c2.ne)), i -> CAST(c2.ne[i] AS DOUBLE) * CAST(c2.ne[i] AS DOUBLE))))), 6) AS cos6
+          FROM qv q JOIN cands c2 ON q.qid <> c2.nid) a) b WHERE rk <= 5),
+      h2 AS (SELECT e.qid, count(*) AS hits FROM ext e
+             JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid)
+      SELECT q.qid, CAST(coalesce(h2.hits, 0) AS BIGINT) AS hits,
+             round(coalesce(h2.hits, 0) / 5.0, 6) AS recall5
+      FROM qv q LEFT JOIN h2 ON q.qid = h2.qid ORDER BY q.qid
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    q23CosineTopk, q24Centroids, q25IvfAssign, q31EmbedNeardup, q32IvfSearch)
+    q23CosineTopk, q24Centroids, q25IvfAssign, q31EmbedNeardup, q32IvfSearch,
+    q39AnnRecall)
 }
