@@ -27,15 +27,18 @@ object Dedup {
   private val fwSql = "(length({w}) * 31 + ascii(substring({w}, 1, 1)))"
   private def fw(w: String) = fwSql.replace("{w}", w)
 
-  /** documents ∪ (documents shifted by 10000) — a corpus with one exact
-    * duplicate per doc, so dedup queries have real work to do.
+  /** documents ∪ (documents shifted by 10^7) — a corpus with one exact
+    * duplicate per doc, so dedup queries have real work to do. The shift
+    * must clear any plausible sf's id range: q38 joins on doc_id and
+    * would silently emit duplicate rows on a collision.
     */
+  private val dupShift = 10000000L
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    d.unionAll(d.select((col("doc_id") + dupShift).as("doc_id"), col("text")))
   }
   private val dupCorpusSql =
-    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents"
+    s"SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + $dupShift, text FROM documents"
 
   /** Exact dedup: content-hash groupBy keeping the smallest doc_id. */
   val q18ExactDedup = QueryDef(
@@ -192,25 +195,29 @@ object Dedup {
     * metadata like (lang, n_chars) would MISS any near-dup whose length
     * differs by one char). Bucket sizes bound the self-join fan-out.
     */
+  /** LSH candidate pairs with token-set Jaccard columns — the shared
+    * verify pipeline behind q22 (reporting) and q38 (clustering). */
+  private def pairsWithJaccard(s: SparkSession, d: DataFrame): DataFrame = {
+    val bands = bandsDf(sigDf(s, d))
+    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2")), Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val t = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+    cand
+      .join(t.select(col("doc_id").as("id1"), col("tk").as("tk1")), "id1")
+      .join(t.select(col("doc_id").as("id2"), col("tk").as("tk2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("tk1"), col("tk2"))).as("inter"),
+        (size(col("tk1")) + size(col("tk2")) - size(array_intersect(col("tk1"), col("tk2")))).as("uni"))
+      .withColumn("jmilli", floor(col("inter") * 1000 / col("uni")).cast("long"))
+  }
+
   val q22JaccardPairs = QueryDef(
     "q22_jaccard_pairs",
-    (s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val bands = bandsDf(sigDf(s, d))
-      val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
-        .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2")), Seq("band", "bkey"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      val t = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-      cand
-        .join(t.select(col("doc_id").as("id1"), col("tk").as("tk1")), "id1")
-        .join(t.select(col("doc_id").as("id2"), col("tk").as("tk2")), "id2")
-        .select(col("id1"), col("id2"),
-          size(array_intersect(col("tk1"), col("tk2"))).as("inter"),
-          (size(col("tk1")) + size(col("tk2")) - size(array_intersect(col("tk1"), col("tk2")))).as("uni"))
-        .withColumn("jmilli", floor(col("inter") * 1000 / col("uni")).cast("long"))
-        .orderBy("id1", "id2")
-    },
+    (s, dir) =>
+      pairsWithJaccard(s, s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("id1", "id2"),
     Some(s"""
       WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
       s AS (SELECT doc_id, ${shinglesSql("tk")} AS sh FROM t WHERE len(tk) >= 3),
@@ -239,21 +246,8 @@ object Dedup {
 
   /** Verified near-dup edges over a corpus: LSH candidate pairs whose
     * token-set Jaccard clears `jmilliMin` per-mille. */
-  private def verifiedPairs(s: SparkSession, d: DataFrame, jmilliMin: Long): DataFrame = {
-    val bands = bandsDf(sigDf(s, d))
-    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
-      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2")), Seq("band", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    val t = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-    cand
-      .join(t.select(col("doc_id").as("id1"), col("tk").as("tk1")), "id1")
-      .join(t.select(col("doc_id").as("id2"), col("tk").as("tk2")), "id2")
-      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))))
-      .withColumn("uni", size(col("tk1")) + size(col("tk2")) - col("inter"))
-      .filter(floor(col("inter") * 1000 / col("uni")) >= jmilliMin)
-      .select("id1", "id2")
-  }
+  private def verifiedPairs(s: SparkSession, d: DataFrame, jmilliMin: Long): DataFrame =
+    pairsWithJaccard(s, d).filter(col("jmilli") >= jmilliMin).select("id1", "id2")
 
   /** Dedup CLUSTERING: connected components over the verified near-dup
     * graph — the step a real pipeline runs before dropping duplicates
@@ -277,7 +271,11 @@ object Dedup {
         .withColumn("label", col("id")).cache()
       var iter = 0
       var changed = 1L
-      while (changed > 0 && iter < 16) {
+      // min-label propagation needs component-diameter rounds; the cap is
+      // a runaway guard, and hitting it MUST fail loudly — a silently
+      // unconverged labeling would diverge from the closure oracle
+      val maxIter = 64
+      while (changed > 0 && iter < maxIter) {
         val nbr = sym.join(lab.select(col("id").as("dst"), col("label").as("dl")), "dst")
           .groupBy(col("src").as("id")).agg(min("dl").as("nmin"))
         val next = lab.join(nbr, Seq("id"), "left")
@@ -291,6 +289,10 @@ object Dedup {
         iter += 1
       }
       sym.unpersist()
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"q38 label propagation unconverged after $maxIter rounds " +
+            "(component diameter exceeds the cap; switch to large-star/small-star)")
       lab.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     },

@@ -59,12 +59,21 @@ object MultiModal {
     * deterministic output — is what downstream stages depend on).
     */
   def resizeStub(blob: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    if (blob == null || blob.length < 12) return blob
-    val out = java.util.Arrays.copyOf(blob, blob.length)
+    if (blob == null) return Array.empty
+    val out = java.util.Arrays.copyOf(blob, blob.length) // never alias the input
+    if (out.length < 12) return out
     val bb = java.nio.ByteBuffer.wrap(out)
     bb.putShort(4, width.toShort)
     bb.putShort(6, height.toShort)
     out
+  }
+
+  /** Header-only frame count (no payload scan — the full decodeStub walks
+    * every payload byte for features this caller discards). -1 = bad blob. */
+  def frameCount(blob: Array[Byte]): Int = {
+    if (blob == null || blob.length < 12 || blob(0) != 'G'.toByte || blob(1) != 'M'.toByte)
+      return -1
+    java.nio.ByteBuffer.wrap(blob).getInt(8)
   }
 
   /** STUB frame sampler: every k-th frame index of a media blob (the
@@ -72,9 +81,9 @@ object MultiModal {
     * bounded frame rows; a real codec would decode each frame's pixels).
     */
   def sampleFrames(docId: Long, blob: Array[Byte], everyK: Int): Seq[(Long, Int)] = {
-    val meta = decodeStub(docId, blob)
-    if (!meta.decode_ok || everyK <= 0) Seq.empty
-    else (0 until meta.frames by everyK).map(f => (docId, f))
+    val frames = frameCount(blob)
+    if (frames < 0 || everyK <= 0) Seq.empty
+    else (0 until frames by everyK).map(f => (docId, f))
   }
 
   /** Binary metadata projection with a DuckDB oracle: byte length and
@@ -114,7 +123,10 @@ object MultiModal {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          decodeStub(id, fakeMediaBlob(id, text))
+          // decode → resize → re-decode: exercises the full stub chain
+          // (a real deployment resamples pixels between the two decodes)
+          val resized = resizeStub(fakeMediaBlob(id, text), 224, 224)
+          decodeStub(id, resized)
         })
         .select(col("doc_id"), col("width"), col("height"), col("frames"),
           col("bytes"), col("decode_ok"),

@@ -61,6 +61,46 @@ object Similarity {
     })
   }
 
+  /** IVF assignment of every vector: home cell, top-2 probe list, and
+    * hoisted norm, against the ⌈√n⌉-cell broadcast quantizer. Persisted —
+    * every consumer (q31/q32/q39) reuses it across join branches.
+    */
+  private def assignedDf(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val cents = broadcast(centroidArray(e, k))
+    e.crossJoin(cents)
+      .withColumn("best", top2Cells(col("embedding"), col("cents")))
+      .select(col("vec_id"), col("embedding"),
+        col("best").getField("c1").as("home"),
+        array(col("best").getField("c1"), col("best").getField("c2")).as("probes"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .persist()
+  }
+
+  /** The IVF-assignment CTE chain shared by the q31/q32/q39 oracles —
+    * one definition so quantizer tuning can never diverge between them
+    * (the Dedup.scala shinglesSql pattern). */
+  private val ivfAssignSql: String = """
+      nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn WHERE vec_id < k),
+      d AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 6) AS d26
+            FROM embeddings e CROSS JOIN c),
+      rkd AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
+              FROM d),
+      home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1),
+      probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 2)""".trim
+
+  /** round(cos(a, b), 6) as DuckDB SQL over two list columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+            list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))), 6)"""
+
   val q23CosineTopk = QueryDef(
     "q23_cosine_topk",
     (s, dir) => {
@@ -170,20 +210,13 @@ object Similarity {
   val q31EmbedNeardup = QueryDef(
     "q31_embed_neardup",
     (s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
-      val cents = broadcast(centroidArray(e, k))
-      // norms hoisted BEFORE the join: the exchange materializes them
-      // once per vector instead of once per candidate pair
-      val assigned = e.crossJoin(cents)
-        .withColumn("best", top2Cells(col("embedding"), col("cents")))
-        .select(col("best").getField("c1").as("cell"), col("vec_id"), col("embedding"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        .persist()
-      val a = assigned.select(col("cell"), col("vec_id").as("v1"), col("embedding").as("e1"),
-        col("nrm").as("n1"))
-      val b = assigned.select(col("cell"), col("vec_id").as("v2"), col("embedding").as("e2"),
-        col("nrm").as("n2"))
+      // norms hoisted BEFORE the join (inside assignedDf): the exchange
+      // materializes them once per vector, not once per candidate pair
+      val assigned = assignedDf(s.read.parquet(s"$dir/embeddings.parquet"))
+      val a = assigned.select(col("home").as("cell"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = assigned.select(col("home").as("cell"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
       val cos = dot(col("e1"), col("e2")) / (col("n1") * col("n2"))
       val w = Window.partitionBy(col("cell")).orderBy(col("cos6").desc, col("v1").asc, col("v2").asc)
       a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
@@ -193,28 +226,13 @@ object Similarity {
         .select("cell", "rk", "v1", "v2", "cos6")
         .orderBy("cell", "rk")
     },
-    Some("""
-      WITH nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn WHERE vec_id < k),
-      d AS (SELECT e.vec_id, c.cid,
-              round(list_sum(list_transform(generate_series(1, len(e.embedding)),
-                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
-                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 6) AS d26
-            FROM embeddings e CROSS JOIN c),
-      cells AS (SELECT vec_id, cid AS cell FROM (
-          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
-          FROM d) t WHERE rk = 1),
+    Some(s"""
+      WITH $ivfAssignSql,
       p AS (
         SELECT x.cell, a.vec_id AS v1, b.vec_id AS v2,
-          round(
-            list_sum(list_transform(generate_series(1, len(a.embedding)),
-              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-            (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
-              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-             sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
-              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cos6
-        FROM cells x JOIN embeddings a ON x.vec_id = a.vec_id
-             JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          ${cosSql("a.embedding", "b.embedding")} AS cos6
+        FROM home x JOIN embeddings a ON x.vec_id = a.vec_id
+             JOIN home y ON x.cell = y.cell AND x.vec_id < y.vec_id
              JOIN embeddings b ON y.vec_id = b.vec_id),
       r AS (SELECT cell, v1, v2, cos6,
                    row_number() OVER (PARTITION BY cell ORDER BY cos6 DESC, v1 ASC, v2 ASC) AS rk
@@ -235,16 +253,7 @@ object Similarity {
   val q32IvfSearch = QueryDef(
     "q32_ivf_search",
     (s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
-      val cents = broadcast(centroidArray(e, k))
-      val assigned = e.crossJoin(cents)
-        .withColumn("best", top2Cells(col("embedding"), col("cents")))
-        .select(col("vec_id"), col("embedding"),
-          col("best").getField("c1").as("home"),
-          array(col("best").getField("c1"), col("best").getField("c2")).as("probes"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        .persist()
+      val assigned = assignedDf(s.read.parquet(s"$dir/embeddings.parquet"))
       val qs = assigned.filter(col("vec_id") % 100 === 4) // deterministic query subset
         .select(col("vec_id").as("qid"), col("home").as("qhome"),
           explode(col("probes")).as("pcell"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -259,30 +268,15 @@ object Similarity {
         .select(col("qid"), col("qhome").as("cell"), col("nid"), col("cos6"))
         .orderBy("qid")
     },
-    Some("""
-      WITH nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn WHERE vec_id < k),
-      d AS (SELECT e.vec_id, c.cid,
-              round(list_sum(list_transform(generate_series(1, len(e.embedding)),
-                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
-                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 6) AS d26
-            FROM embeddings e CROSS JOIN c),
-      rkd AS (SELECT vec_id, cid,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
-              FROM d),
-      home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1),
-      probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 2),
+    Some(s"""
+      WITH $ivfAssignSql,
       qs AS (SELECT p.vec_id AS qid, h.cell AS qhome, p.cell AS pcell, e.embedding AS qe
              FROM probes p JOIN home h ON p.vec_id = h.vec_id
                   JOIN embeddings e ON p.vec_id = e.vec_id
              WHERE p.vec_id % 100 = 4),
       cands AS (SELECT h.vec_id AS nid, h.cell AS ncell, e.embedding AS ne
                 FROM home h JOIN embeddings e ON h.vec_id = e.vec_id),
-      p2 AS (SELECT qid, qhome, nid,
-          round(
-            list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))) /
-            (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
-             sqrt(list_sum(list_transform(generate_series(1, len(ne)), i -> CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))))), 6) AS cos6
+      p2 AS (SELECT qid, qhome, nid, ${cosSql("qe", "ne")} AS cos6
         FROM qs JOIN cands ON pcell = ncell AND qid <> nid)
       SELECT qid, qhome AS cell, nid, cos6 FROM (
         SELECT qid, qhome, nid, cos6,
@@ -302,16 +296,7 @@ object Similarity {
   val q39AnnRecall = QueryDef(
     "q39_ann_recall",
     (s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
-      val cents = broadcast(centroidArray(e, k))
-      val assigned = e.crossJoin(cents)
-        .withColumn("best", top2Cells(col("embedding"), col("cents")))
-        .select(col("vec_id"), col("embedding"),
-          col("best").getField("c1").as("home"),
-          array(col("best").getField("c1"), col("best").getField("c2")).as("probes"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        .persist()
+      val assigned = assignedDf(s.read.parquet(s"$dir/embeddings.parquet"))
       val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
         col("embedding").as("ne"), col("nrm").as("cn"))
       val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
@@ -337,19 +322,8 @@ object Similarity {
           round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
         .orderBy("qid")
     },
-    Some("""
-      WITH nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn WHERE vec_id < k),
-      d AS (SELECT e.vec_id, c.cid,
-              round(list_sum(list_transform(generate_series(1, len(e.embedding)),
-                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
-                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 6) AS d26
-            FROM embeddings e CROSS JOIN c),
-      rkd AS (SELECT vec_id, cid,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
-              FROM d),
-      home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1),
-      probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 2),
+    Some(s"""
+      WITH $ivfAssignSql,
       qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 4),
       qs AS (SELECT p.vec_id AS qid, p.cell AS pcell, e.embedding AS qe
              FROM probes p JOIN embeddings e ON p.vec_id = e.vec_id
@@ -358,19 +332,11 @@ object Similarity {
                 FROM home h JOIN embeddings e ON h.vec_id = e.vec_id),
       ivf AS (SELECT qid, nid FROM (
         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
-        FROM (SELECT qid, nid,
-          round(
-            list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))) /
-            (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
-             sqrt(list_sum(list_transform(generate_series(1, len(ne)), i -> CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))))), 6) AS cos6
+        FROM (SELECT qid, nid, ${cosSql("qe", "ne")} AS cos6
           FROM qs JOIN cands ON pcell = ncell AND qid <> nid) a) b WHERE rk <= 5),
       ext AS (SELECT qid, nid FROM (
         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
-        FROM (SELECT q.qid, c2.nid,
-          round(
-            list_sum(list_transform(generate_series(1, len(q.qe)), i -> CAST(q.qe[i] AS DOUBLE) * CAST(c2.ne[i] AS DOUBLE))) /
-            (sqrt(list_sum(list_transform(generate_series(1, len(q.qe)), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) *
-             sqrt(list_sum(list_transform(generate_series(1, len(c2.ne)), i -> CAST(c2.ne[i] AS DOUBLE) * CAST(c2.ne[i] AS DOUBLE))))), 6) AS cos6
+        FROM (SELECT q.qid, c2.nid, ${cosSql("q.qe", "c2.ne")} AS cos6
           FROM qv q JOIN cands c2 ON q.qid <> c2.nid) a) b WHERE rk <= 5),
       h2 AS (SELECT e.qid, count(*) AS hits FROM ext e
              JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid)
