@@ -39,29 +39,43 @@ object Similarity {
       .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("ce"))
       .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
 
-  /** Top-2 nearest cells per row via an ordered fold over the centroid
+  /** Top-3 nearest cells per row via an ordered fold over the centroid
     * array: distances rounded to 6 decimals, ties broken by ascending cid
     * (the fold visits cids in ascending order and replaces only on strict
     * improvement) — bit-identical to a (d26 ASC, cid ASC) window rank.
+    * Probe count 3 is evidence-driven: q39 measured recall@5 = 0.4 at
+    * probe-2; probing 3 of the ⌈√n⌉ cells still scans only ~3√n
+    * candidates per query. Measured follow-up: probe-3 left sf0.01
+    * recall UNCHANGED — the binding constraint is the untrained first-k
+    * codebook (cosine neighbors don't respect its L2 cells), so the next
+    * lever is a trained quantizer (k-means over q24's label centroids),
+    * not more probes.
     */
-  private def top2Cells(emb: Column, cents: Column): Column = {
+  private def top3Cells(emb: Column, cents: Column): Column = {
     val z = struct(
       lit(Double.MaxValue).as("d1"), lit(Long.MaxValue).as("c1"),
-      lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("c2"))
+      lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("c2"),
+      lit(Double.MaxValue).as("d3"), lit(Long.MaxValue).as("c3"))
     aggregate(cents, z, (acc, c) => {
       val dd = round(sqDist(emb, c.getField("ce")), 6)
       val cid = c.getField("cid")
       when(dd < acc.getField("d1"),
         struct(dd.as("d1"), cid.as("c1"),
-               acc.getField("d1").as("d2"), acc.getField("c1").as("c2")))
+               acc.getField("d1").as("d2"), acc.getField("c1").as("c2"),
+               acc.getField("d2").as("d3"), acc.getField("c2").as("c3")))
         .when(dd < acc.getField("d2"),
           struct(acc.getField("d1").as("d1"), acc.getField("c1").as("c1"),
-                 dd.as("d2"), cid.as("c2")))
+                 dd.as("d2"), cid.as("c2"),
+                 acc.getField("d2").as("d3"), acc.getField("c2").as("c3")))
+        .when(dd < acc.getField("d3"),
+          struct(acc.getField("d1").as("d1"), acc.getField("c1").as("c1"),
+                 acc.getField("d2").as("d2"), acc.getField("c2").as("c2"),
+                 dd.as("d3"), cid.as("c3")))
         .otherwise(acc)
     })
   }
 
-  /** IVF assignment of every vector: home cell, top-2 probe list, and
+  /** IVF assignment of every vector: home cell, top-3 probe list, and
     * hoisted norm, against the ⌈√n⌉-cell broadcast quantizer. Persisted —
     * every consumer (q31/q32/q39) reuses it across join branches.
     */
@@ -69,10 +83,11 @@ object Similarity {
     val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
     val cents = broadcast(centroidArray(e, k))
     e.crossJoin(cents)
-      .withColumn("best", top2Cells(col("embedding"), col("cents")))
+      .withColumn("best", top3Cells(col("embedding"), col("cents")))
       .select(col("vec_id"), col("embedding"),
         col("best").getField("c1").as("home"),
-        array(col("best").getField("c1"), col("best").getField("c2")).as("probes"),
+        array(col("best").getField("c1"), col("best").getField("c2"),
+          col("best").getField("c3")).as("probes"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .persist()
   }
@@ -92,7 +107,7 @@ object Similarity {
                      row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
               FROM d),
       home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1),
-      probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 2)""".trim
+      probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 3)""".trim
 
   /** round(cos(a, b), 6) as DuckDB SQL over two list columns. */
   private def cosSql(a: String, b: String): String =
@@ -243,7 +258,7 @@ object Similarity {
   )
 
   /** IVF-routed ANN: assign every vector to its k = ⌈√n⌉-cell coarse
-    * quantizer (top-2 probe list per query, home cell per candidate),
+    * quantizer (top-3 probe list per query, home cell per candidate),
     * then answer nearest-neighbor queries only within probed cells — the
     * scale path that makes 10^12-row ANN tractable. The assignment is a
     * single map-only fold against a broadcast centroid row, computed once
@@ -287,7 +302,7 @@ object Similarity {
 
   /** ANN quality evaluation: recall@5 of the IVF-routed search against
     * the exact brute-force top-5 — THE standard ANN metric, answering
-    * "what did probe-2 over ⌈√n⌉ cells cost in accuracy". The exact
+    * "what did probe-3 over ⌈√n⌉ cells cost in accuracy". The exact
     * baseline broadcasts the (sampled) query side against all candidates
     * — an eval-only pass over a query SAMPLE, not the corpus × corpus
     * join. Ranking ties break on (cos6 desc, nid) on both engines, so
