@@ -308,37 +308,39 @@ object Similarity {
     * join. Ranking ties break on (cos6 desc, nid) on both engines, so
     * the whole evaluation is bit-exact against DuckDB.
     */
-  val q39AnnRecall = QueryDef(
-    "q39_ann_recall",
-    (s, dir) => {
-      val assigned = assignedDf(s.read.parquet(s"$dir/embeddings.parquet"))
-      val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
-        col("embedding").as("ne"), col("nrm").as("cn"))
-      val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
-      val wq = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
-      val qsP = assigned.filter(col("vec_id") % 100 === 4)
-        .select(col("vec_id").as("qid"), explode(col("probes")).as("pcell"),
-          col("embedding").as("qe"), col("nrm").as("qn"))
-      val ivf = qsP.join(cands, col("pcell") === col("ncell") && col("qid") =!= col("nid"))
-        .withColumn("cos6", round(cos, 6))
-        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
-        .select(col("qid"), col("nid"))
-      val qsE = assigned.filter(col("vec_id") % 100 === 4)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val exact = cands.join(broadcast(qsE), col("qid") =!= col("nid"))
-        .withColumn("cos6", round(cos, 6))
-        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
-        .select(col("qid"), col("nid"))
-      val hits = exact.as("x")
-        .join(ivf.as("y"), col("x.qid") === col("y.qid") && col("x.nid") === col("y.nid"))
-        .groupBy(col("x.qid").as("qid")).agg(count(lit(1)).as("hits"))
-      qsE.select("qid").join(hits, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
-        .orderBy("qid")
-    },
-    Some(s"""
-      WITH $ivfAssignSql,
+  /** recall@5 evaluation over any assignment (home + probes + nrm): IVF
+    * candidates from probed cells vs the exact broadcast baseline. */
+  private def recallFromAssigned(assigned: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
+      col("embedding").as("ne"), col("nrm").as("cn"))
+    val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+    val qsP = assigned.filter(col("vec_id") % 100 === 4)
+      .select(col("vec_id").as("qid"), explode(col("probes")).as("pcell"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val ivf = qsP.join(cands, col("pcell") === col("ncell") && col("qid") =!= col("nid"))
+      .withColumn("cos6", round(cos, 6))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"))
+    val qsE = assigned.filter(col("vec_id") % 100 === 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val exact = cands.join(broadcast(qsE), col("qid") =!= col("nid"))
+      .withColumn("cos6", round(cos, 6))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"))
+    val hits = exact.as("x")
+      .join(ivf.as("y"), col("x.qid") === col("y.qid") && col("x.nid") === col("y.nid"))
+      .groupBy(col("x.qid").as("qid")).agg(count(lit(1)).as("hits"))
+    qsE.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
+      .orderBy("qid")
+  }
+
+  /** The recall-evaluation CTE tail shared by q39/q40: expects `home` and
+    * `probes` CTEs from the preceding assignment chain. */
+  private val recallTailSql: String = s"""
       qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 4),
       qs AS (SELECT p.vec_id AS qid, p.cell AS pcell, e.embedding AS qe
              FROM probes p JOIN embeddings e ON p.vec_id = e.vec_id
@@ -357,11 +359,77 @@ object Similarity {
              JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid)
       SELECT q.qid, CAST(coalesce(h2.hits, 0) AS BIGINT) AS hits,
              round(coalesce(h2.hits, 0) / 5.0, 6) AS recall5
-      FROM qv q LEFT JOIN h2 ON q.qid = h2.qid ORDER BY q.qid
+      FROM qv q LEFT JOIN h2 ON q.qid = h2.qid ORDER BY q.qid""".trim
+
+  val q39AnnRecall = QueryDef(
+    "q39_ann_recall",
+    (s, dir) => recallFromAssigned(assignedDf(s.read.parquet(s"$dir/embeddings.parquet"))),
+    Some(s"""
+      WITH $ivfAssignSql,
+      $recallTailSql
+    """.trim)
+  )
+
+  /** Trained-codebook recall: the same evaluation with the quantizer
+    * TRAINED on the data — q24's per-label decimal-exact centroids as
+    * cells instead of the first-k "sample" vectors. q39's probe-3
+    * follow-up isolated the untrained codebook as the recall bottleneck;
+    * this query measures what training buys (same probe budget, same
+    * oracle discipline). Measured at sf0.01: 0.44 vs 0.40 untrained —
+    * the synthetic embeddings cluster only weakly by label under cosine,
+    * so the honest conclusion is that THIS corpus needs k-means rounds
+    * on the codebook (or more cells), not that training is free recall.
+    */
+  val q40TrainedRecall = QueryDef(
+    "q40_trained_recall",
+    (s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = broadcast(
+        e.select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+          .select(col("label"), (col("pos0") + 1).as("pos"),
+            round(col("v").cast("double"), 6).cast("decimal(9,6)").as("r6"))
+          .groupBy("label", "pos")
+          .agg((sum(col("r6")).cast("double") / count(lit(1))).as("cv"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+          .select(col("label").cast("long").as("cid"),
+            transform(col("pcs"), x => x.getField("cv")).as("ce"))
+          .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents")))
+      val assigned = e.crossJoin(cents)
+        .withColumn("best", top3Cells(col("embedding"), col("cents")))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("c1").as("home"),
+          array(col("best").getField("c1"), col("best").getField("c2"),
+            col("best").getField("c3")).as("probes"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist()
+      recallFromAssigned(assigned)
+    },
+    Some(s"""
+      WITH x AS (SELECT label,
+                        unnest(generate_series(1, len(embedding))) AS pos,
+                        unnest(embedding) AS v
+                 FROM embeddings),
+      tc AS (SELECT label, pos,
+                    CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(9,6))) AS DOUBLE) / count(*) AS cv
+             FROM x GROUP BY label, pos),
+      cents AS (SELECT CAST(label AS BIGINT) AS cid, list(cv ORDER BY pos) AS ce
+                FROM tc GROUP BY label),
+      d AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i])
+                   * (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]))), 6) AS d26
+            FROM embeddings e CROSS JOIN cents c),
+      rkd AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
+              FROM d),
+      home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1),
+      probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 3),
+      $recallTailSql
     """.trim)
   )
 
   val all: Seq[QueryDef] = Seq(
     q23CosineTopk, q24Centroids, q25IvfAssign, q31EmbedNeardup, q32IvfSearch,
-    q39AnnRecall)
+    q39AnnRecall, q40TrainedRecall)
 }
