@@ -143,19 +143,22 @@ object MultiModal {
   def convertPt2Px(pt: Seq[Double], dpi: Int = 96): Seq[Int] =
     pt.map(p => math.rint(dpi / 72.0 * p).toInt)
 
-  /** Figure-boundary conversion as a column transform over a synthetic
-    * pt-space region derived from doc_id (the pdffigures regionBoundary
-    * analog, create_index.py:50-52), with a bit-exact DuckDB oracle.
+  /** Figure-boundary conversion over a synthetic pt-space region derived
+    * from doc_id (the pdffigures regionBoundary analog,
+    * create_index.py:50-52), with a bit-exact DuckDB oracle. Emitted as
+    * four scalar INT columns (not an array) so the driver's pandas
+    * hash-compare can factorize the result.
     */
   val q36Pt2Px = QueryDef(
     "q36_pt2px",
     (s, dir) => {
       val x1 = pmod(col("doc_id"), lit(612)).cast("double") * 0.37
       val y1 = pmod(col("doc_id") * 3, lit(792)).cast("double") * 0.53
-      val region = array(x1, y1, x1 + 108.25, y1 + 54.75)
+      def px(p: org.apache.spark.sql.Column) = bround(p * 96.0 / 72.0).cast("int")
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
-          transform(region, p => bround(p * 96.0 / 72.0).cast("int")).as("region_px"))
+          px(x1).as("x1_px"), px(y1).as("y1_px"),
+          px(x1 + 108.25).as("x2_px"), px(y1 + 54.75).as("y2_px"))
         .orderBy("doc_id")
     },
     Some("""
@@ -164,8 +167,10 @@ object MultiModal {
                         ((doc_id * 3) % 792) * 0.53::DOUBLE AS y1
                  FROM documents)
       SELECT doc_id,
-             list_transform([x1, y1, x1 + 108.25, y1 + 54.75],
-                            p -> CAST(round_even(p * 96.0 / 72.0, 0) AS INT)) AS region_px
+             CAST(round_even(x1 * 96.0 / 72.0, 0) AS INT) AS x1_px,
+             CAST(round_even(y1 * 96.0 / 72.0, 0) AS INT) AS y1_px,
+             CAST(round_even((x1 + 108.25) * 96.0 / 72.0, 0) AS INT) AS x2_px,
+             CAST(round_even((y1 + 54.75) * 96.0 / 72.0, 0) AS INT) AS y2_px
       FROM t ORDER BY doc_id
     """.trim)
   )

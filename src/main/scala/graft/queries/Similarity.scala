@@ -39,25 +39,27 @@ object Similarity {
       .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("ce"))
       .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
 
-  /** Top-3 nearest cells per row via an ordered fold over the centroid
-    * array: distances rounded to 6 decimals, ties broken by ascending cid
-    * (the fold visits cids in ascending order and replaces only on strict
-    * improvement) — bit-identical to a (d26 ASC, cid ASC) window rank.
-    * Probe count 3 is evidence-driven: q39 measured recall@5 = 0.4 at
-    * probe-2; probing 3 of the ⌈√n⌉ cells still scans only ~3√n
-    * candidates per query. Measured follow-up: probe-3 left sf0.01
-    * recall UNCHANGED — the binding constraint is the untrained first-k
-    * codebook (cosine neighbors don't respect its L2 cells), so the next
-    * lever is a trained quantizer (k-means over q24's label centroids),
-    * not more probes.
+  /** Top-3 nearest cells per row: the centroid array is first mapped ONCE
+    * into small (d, cid) structs — one sqDist evaluation per centroid —
+    * then an ordered fold over those scalar pairs keeps the running
+    * top-3. (Folding over raw centroids re-embedded the whole sqDist
+    * aggregate into every `when` branch — higher-order functions are
+    * interpreted, so that cost ~6× the arithmetic; measured as the q39
+    * 60 s regression in round 2.) Distances rounded to 6 decimals, ties
+    * broken by ascending cid (the fold visits cids in ascending order and
+    * replaces only on strict improvement) — bit-identical to a
+    * (d26 ASC, cid ASC) window rank. Probe count 3 is evidence-driven:
+    * ~3√n candidates per query against the ⌈√n⌉-cell quantizer.
     */
   private def top3Cells(emb: Column, cents: Column): Column = {
+    val dists = transform(cents, c =>
+      struct(round(sqDist(emb, c.getField("ce")), 6).as("d"), c.getField("cid").as("cid")))
     val z = struct(
       lit(Double.MaxValue).as("d1"), lit(Long.MaxValue).as("c1"),
       lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("c2"),
       lit(Double.MaxValue).as("d3"), lit(Long.MaxValue).as("c3"))
-    aggregate(cents, z, (acc, c) => {
-      val dd = round(sqDist(emb, c.getField("ce")), 6)
+    aggregate(dists, z, (acc, c) => {
+      val dd = c.getField("d")
       val cid = c.getField("cid")
       when(dd < acc.getField("d1"),
         struct(dd.as("d1"), cid.as("c1"),
@@ -82,15 +84,26 @@ object Similarity {
   private def assignedDf(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
     val cents = broadcast(centroidArray(e, k))
+    assignAgainst(e, cents)
+  }
+
+  /** Assign every vector against a one-row broadcast codebook. The persist
+    * sits IMMEDIATELY after `best` is computed: without the barrier,
+    * CollapseProject inlines the whole top-3 aggregate into each of the
+    * four field extractions below (4× the arithmetic — the CLAUDE.md
+    * multi-use-array rule). Consumers reuse the cached assignment.
+    */
+  private def assignAgainst(e: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     e.crossJoin(cents)
-      .withColumn("best", top3Cells(col("embedding"), col("cents")))
+      .select(col("vec_id"), col("embedding"),
+        top3Cells(col("embedding"), col("cents")).as("best"))
+      .persist()
       .select(col("vec_id"), col("embedding"),
         col("best").getField("c1").as("home"),
         array(col("best").getField("c1"), col("best").getField("c2"),
           col("best").getField("c3")).as("probes"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-      .persist()
-  }
 
   /** The IVF-assignment CTE chain shared by the q31/q32/q39 oracles —
     * one definition so quantizer tuning can never diverge between them
@@ -395,15 +408,7 @@ object Similarity {
           .select(col("label").cast("long").as("cid"),
             transform(col("pcs"), x => x.getField("cv")).as("ce"))
           .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents")))
-      val assigned = e.crossJoin(cents)
-        .withColumn("best", top3Cells(col("embedding"), col("cents")))
-        .select(col("vec_id"), col("embedding"),
-          col("best").getField("c1").as("home"),
-          array(col("best").getField("c1"), col("best").getField("c2"),
-            col("best").getField("c3")).as("probes"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        .persist()
-      recallFromAssigned(assigned)
+      recallFromAssigned(assignAgainst(e, cents))
     },
     Some(s"""
       WITH x AS (SELECT label,
