@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash signatures + LSH band buckets, SimHash, and
@@ -249,51 +250,72 @@ object Dedup {
   private def verifiedPairs(s: SparkSession, d: DataFrame, jmilliMin: Long): DataFrame =
     pairsWithJaccard(s, d).filter(col("jmilli") >= jmilliMin).select("id1", "id2")
 
+  /** Connected components by the large-star/small-star alternation
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"): converges in O(log² n) rounds INDEPENDENT of component
+    * diameter — a 100 TB duplicate chain costs ~a dozen rounds where
+    * min-label propagation needs diameter-many. Each half-round is one
+    * window shuffle on the node id.
+    *
+    * Input: undirected edges as (id1, id2) pairs. Output: star edges
+    * (u = member, v = its component's min id); component roots and
+    * isolated nodes carry no row — callers coalesce to self.
+    */
+  private[queries] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("u")
+    // each round references the previous edge set 4×, so the lineage (and
+    // the analyzer's work) would grow 4^rounds without truncation —
+    // checkpoint every round, the standard discipline for iterative graph
+    // algorithms (a cluster deployment uses a reliable checkpoint dir)
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var iter = 0
+    val maxIter = 32 // log²-round algorithm: 32 covers any realistic graph
+    var done = edges.isEmpty
+    while (!done && iter < maxIter) {
+      // large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u})
+      val und = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lm = und.withColumn("m", least(min(col("v")).over(w), col("u")))
+      val ls = lm.filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: edges now all point downhill (u > v); u and every
+      // neighbor re-link to m = min(N(u))
+      val sm = ls.withColumn("m", min(col("v")).over(w))
+      val next = sm.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(sm.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connected components unconverged after $maxIter star rounds " +
+          "(should be impossible for graphs under ~2^5 log-diameter; investigate)")
+    edges
+  }
+
   /** Dedup CLUSTERING: connected components over the verified near-dup
     * graph — the step a real pipeline runs before dropping duplicates
     * (every member maps to the component's min doc_id; the canonical doc
-    * is its own cluster_id). Spark side: iterative min-label propagation
-    * (join + groupBy-min per round, converges in component-diameter
-    * rounds; the 100 TB upgrade is the standard large-star/small-star
-    * alternation, same join shapes). Oracle: DuckDB recursive-CTE
-    * transitive closure — min reachable id is provably the same fixpoint,
-    * so even the iterative algorithm gets a bit-exact cross-engine check.
+    * is its own cluster_id). Spark side: the large-star/small-star
+    * alternation in [[connectedComponents]] (round count is log²-bounded,
+    * not diameter-bounded — DedupCcSpec drives a diameter-99 path graph
+    * through it). Oracle: DuckDB recursive-CTE transitive closure — min
+    * reachable id is provably the same fixpoint, so the iterative
+    * algorithm gets a bit-exact cross-engine check.
     */
   val q38DedupClusters = QueryDef(
     "q38_dedup_clusters",
     (s, dir) => {
       val d = dupCorpus(s, dir)
-      val pairs = verifiedPairs(s, d, 800L)
-      val sym = pairs.unionAll(
-        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-        .toDF("src", "dst").cache()
-      var lab = d.select(col("doc_id").as("id"))
-        .withColumn("label", col("id")).cache()
-      var iter = 0
-      var changed = 1L
-      // min-label propagation needs component-diameter rounds; the cap is
-      // a runaway guard, and hitting it MUST fail loudly — a silently
-      // unconverged labeling would diverge from the closure oracle
-      val maxIter = 64
-      while (changed > 0 && iter < maxIter) {
-        val nbr = sym.join(lab.select(col("id").as("dst"), col("label").as("dl")), "dst")
-          .groupBy(col("src").as("id")).agg(min("dl").as("nmin"))
-        val next = lab.join(nbr, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .cache()
-        changed = next.join(lab.select(col("id"), col("label").as("old")), "id")
-          .filter(col("label") =!= col("old")).count()
-        lab.unpersist()
-        lab = next
-        iter += 1
-      }
-      sym.unpersist()
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"q38 label propagation unconverged after $maxIter rounds " +
-            "(component diameter exceeds the cap; switch to large-star/small-star)")
-      lab.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val stars = connectedComponents(verifiedPairs(s, d, 800L))
+      d.select(col("doc_id"))
+        .join(stars.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
         .orderBy("doc_id")
     },
     Some(s"""
