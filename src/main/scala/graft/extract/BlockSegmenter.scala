@@ -89,6 +89,7 @@ object BlockSegmenter {
       * runs directly under a container are folded into implicit paragraphs.
       */
     def walk(e: DomElem): Unit = {
+      DocBudget.tick() // per-element wall-clock checkpoint
       var run = new ArrayBuffer[DomNode](8) // pending inline run
       def flushRun(): Unit = {
         if (run.nonEmpty) {

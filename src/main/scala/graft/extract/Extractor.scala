@@ -27,7 +27,12 @@ object Extractor {
       // repetition/slice removal keeping less than this fraction of the
       // serialized page yields [MISSING_PAGE_FAIL]
       emitSentinels: Boolean = false,
-      failDominanceKeep: Double = 0.15
+      failDominanceKeep: Double = 0.15,
+      // R4's wall-clock half (reference: 120 s pebble timeout,
+      // split_htmls_to_pages.py:210): cooperative deadline enforced by
+      // DocBudget.tick in the tokenizer/segmenter/postprocess loops.
+      // 0 disarms; expiry fails the ROW (ok=false, error="timeout").
+      timeoutMillis: Long = 120000L
   )
 
   val default: Config = Config()
@@ -49,6 +54,7 @@ object Extractor {
   }
 
   def extractHtml(url: String, html: String, cfg: Config = default): ExtractedDoc = {
+    DocBudget.begin(cfg.timeoutMillis)
     try {
       val dom = DomBuilder.build(
         graft.html.HtmlTokenizer.tokenize(html, cfg.maxTokens),
@@ -89,6 +95,9 @@ object Extractor {
       )
     } catch {
       case NonFatal(e) => failure(url, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    } finally {
+      // a stale expired deadline must not poison other work on this thread
+      DocBudget.clear()
     }
   }
 

@@ -46,6 +46,7 @@ object HtmlTokenizer {
       }
 
     while (i < n && out.length < maxTokens) {
+      graft.extract.DocBudget.tick() // per-token wall-clock checkpoint
       val lt = html.indexOf('<', i)
       if (lt < 0) { flushText(n); i = n; textStart = n }
       else {

@@ -36,6 +36,7 @@ object FuzzySearch {
     var bestEnd = -1
     var i = 1
     while (i <= m && bestDist > 0) {
+      graft.extract.DocBudget.tick() // per-row checkpoint (O(m·n) DP)
       cur(0) = i
       var rowMin = cur(0)
       var j = 1

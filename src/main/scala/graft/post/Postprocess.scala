@@ -104,6 +104,7 @@ object Postprocess {
     var l = 0; var rr = 0
     var k = 1
     while (k < n) {
+      if ((k & 0xFFF) == 0) graft.extract.DocBudget.tick() // every 4096 chars
       var zk = 0
       if (k < rr) zk = math.min(rr - k, z(k - l))
       while (k + zk < n && r(zk) == r(k + zk)) zk += 1
@@ -454,6 +455,7 @@ object Postprocess {
   }
 
   def postprocessSingle(md0: String, markdownFix: Boolean = true): Result = {
+    graft.extract.DocBudget.tick() // wall-clock checkpoint between stages
     var md = md0
     val f = new Feat(md)
     // >100-char titles are not titles (postprocessing.py:343-345);
@@ -531,6 +533,7 @@ object Distance {
     var cur = new Array[Int](n + 1)
     var j = 1
     while (j <= m) {
+      graft.extract.DocBudget.tick() // per-column checkpoint (O(n·m) DP)
       cur(0) = j
       var best = cur(0)
       var i = 1

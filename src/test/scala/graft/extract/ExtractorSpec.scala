@@ -282,6 +282,33 @@ class ExtractorSpec extends AnyFunSuite {
     assert(!okDoc.markdown.contains("MISSING_PAGE"))
   }
 
+  test("exhausted wall-clock budget fails the ROW with error=timeout, not the job") {
+    // a page big enough to pass many tick checkpoints; negative budget =
+    // already-expired deadline (deterministic regardless of host speed)
+    val bigHtml = "<body>" + (1 to 5000).map(i => s"<p>paragraph $i body text</p>").mkString + "</body>"
+    val cfg = Extractor.default.copy(timeoutMillis = -1L)
+    val d = Extractor.extractHtml("u", bigHtml, cfg)
+    assert(!d.ok && d.error == "timeout", s"expected timeout row, got ok=${d.ok} error=${d.error}")
+    // the expired deadline must not leak into the next document on the
+    // same thread (finally-clear), nor fire with the default 120 s budget
+    val healthy = Extractor.extractHtml("u2", "<body><p>A fine page with enough text to keep.</p></body>")
+    assert(healthy.ok && healthy.markdown.nonEmpty)
+    val bigOk = Extractor.extractHtml("u3", bigHtml)
+    assert(bigOk.ok, s"default budget must not misfire: ${bigOk.error}")
+  }
+
+  test("timeout rows flow through the mapPartitions entry point without killing it") {
+    val cfg = Extractor.default.copy(timeoutMillis = -1L)
+    val bigHtml = "<body>" + (1 to 5000).map(i => s"<p>paragraph $i body text</p>").mkString + "</body>"
+    val bytes = bigHtml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ts = new java.sql.Timestamp(0L)
+    val rows = Iterator(
+      graft.core.PageRow("a", ts, bytes, "", "en"),
+      graft.core.PageRow("b", ts, bytes, "", "en"))
+    val out = Extractor.run(rows, cfg).toVector
+    assert(out.length == 2 && out.forall(d => !d.ok && d.error == "timeout"))
+  }
+
   test("span offsets always index into final markdown (invariant)") {
     val h =
       """<body><p>P1 <math alttext="x+1"></math> mid.</p><table id="z"><tr><td>c</td></tr></table>
