@@ -61,16 +61,84 @@ object TexNormalizer {
     // middle-dot runs → \cdots, then the unicode→TeX table (X6)
     if (t.indexOf('·') >= 0) t = pDotRun.matcher(t).replaceAll("\\\\cdots ")
     t = unicodeToLatex(t)
+    // accent-command shorthand (umlaut_regex, latex_conversion.py:46-53,99)
+    t = umlautPass(t)
     // drop LaTeX comments: unescaped % to end of line
     if (t.indexOf('%') >= 0) t = pComment.matcher(t).replaceAll("")
     if (t.indexOf('\n') >= 0 || t.indexOf('\r') >= 0)
       t = t.replace("\n", " ").replace("\r", " ")
     styleCommands.foreach { c => t = replaceCommand(t, c, "") }
     synonyms.foreach { case (from, to) => t = replaceCommand(t, from, to) }
+    // residual non-ASCII → transliterate-or-drop (unidecode analog,
+    // latex_conversion.py:101, reference policy "ignore" for unknowns)
+    t = foldAscii(t)
     t = pSpaces.matcher(t).replaceAll(" ").trim
     if (t.isEmpty) ""
     else if (inline) "\\(" + t + "\\)"
     else "\\[" + t + "\\]"
+  }
+
+  /** The reference's `umlaut_regex` (latex_conversion.py:46-53): spelled
+    * accent commands over a bare letter collapse to the short form —
+    * `\ddot a` → `\"a`, `\textasciicaron c` → `\v c`.
+    */
+  private val pUmlaut = java.util.regex.Pattern.compile(
+    "\\s?\\\\(textasciicircum|ddot|textasciidieresis|textasciicaron)\\s(\\w)")
+  private val umlautMap = Map(
+    "textasciicircum" -> "^", "ddot" -> "\"",
+    "textasciidieresis" -> "\"", "textasciicaron" -> "v ")
+
+  private def umlautPass(s: String): String = {
+    if (s.indexOf("\\ddot") < 0 && s.indexOf("\\textascii") < 0) return s
+    val m = pUmlaut.matcher(s)
+    val sb = new java.lang.StringBuffer(s.length)
+    while (m.find())
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement("\\" + umlautMap(m.group(1)) + m.group(2)))
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** ASCII transliteration for characters the TeX table doesn't claim —
+    * the `unidecode` tail of the reference chain (latex_conversion.py:101):
+    * dashes, ligatures, vulgar fractions, super/subscripts, Latin letters
+    * outside the accent table; anything still unknown is dropped.
+    */
+  private val asciiFold: Map[Char, String] = Map(
+    '–' -> "-", '—' -> "--", '‒' -> "-", '―' -> "--", ' ' -> " ",
+    'ﬁ' -> "fi", 'ﬂ' -> "fl", 'ﬀ' -> "ff", 'ﬃ' -> "ffi", 'ﬄ' -> "ffl",
+    '½' -> "1/2", '¼' -> "1/4", '¾' -> "3/4",
+    '⁰' -> "0", '¹' -> "1", '²' -> "2", '³' -> "3", '⁴' -> "4",
+    '⁵' -> "5", '⁶' -> "6", '⁷' -> "7", '⁸' -> "8", '⁹' -> "9",
+    '₀' -> "0", '₁' -> "1", '₂' -> "2", '₃' -> "3", '₄' -> "4",
+    '₅' -> "5", '₆' -> "6", '₇' -> "7", '₈' -> "8", '₉' -> "9",
+    'å' -> "a", 'Å' -> "A", 'ø' -> "o", 'Ø' -> "O", 'æ' -> "ae", 'Æ' -> "AE",
+    'œ' -> "oe", 'Œ' -> "OE", 'ð' -> "d", 'þ' -> "th", 'ı' -> "i",
+    'ì' -> "i", 'î' -> "i", 'ï' -> "i", 'ù' -> "u", 'û' -> "u",
+    'ý' -> "y", 'ÿ' -> "y", 'õ' -> "o", 'ã' -> "a",
+    'Á' -> "A", 'É' -> "E", 'Í' -> "I", 'Ó' -> "O", 'Ú' -> "U",
+    'Ñ' -> "N", 'Ç' -> "C", 'È' -> "E", 'Ê' -> "E",
+    '«' -> "\"", '»' -> "\"", '‹' -> "'", '›' -> "'", '„' -> "\"", '‚' -> "'",
+    '•' -> "*", '∙' -> "*", '§' -> "S", '©' -> "(c)", '®' -> "(r)",
+    '™' -> "(tm)", 'µ' -> "u")
+
+  private def foldAscii(s: String): String = {
+    var any = false
+    var i = 0
+    while (i < s.length && !any) { if (s.charAt(i) > 127) any = true; i += 1 }
+    if (!any) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c <= 127) sb.append(c)
+      else asciiFold.get(c) match {
+        case Some(rep) => sb.append(rep)
+        case None => () // unknown non-ASCII: dropped (reference "ignore")
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** Replace a TeX command only at non-letter boundaries (so \le does not
@@ -127,9 +195,37 @@ object TexNormalizer {
     '−' -> "-", '→' -> "\\to ", '←' -> "\\gets ", '↔' -> "\\leftrightarrow ",
     '⇒' -> "\\Rightarrow ", '⇐' -> "\\Leftarrow ", '⇔' -> "\\Leftrightarrow ",
     '↦' -> "\\mapsto ",
-    // blackboard / misc math letters
+    // greek variants
+    'ϑ' -> "\\vartheta ", 'ϖ' -> "\\varpi ", 'ς' -> "\\varsigma ",
+    'ϱ' -> "\\varrho ", 'ϰ' -> "\\varkappa ", 'ϵ' -> "\\epsilon ",
+    // order relations & lattice ops
+    '≪' -> "\\ll ", '≫' -> "\\gg ", '≺' -> "\\prec ", '≻' -> "\\succ ",
+    '⪯' -> "\\preceq ", '⪰' -> "\\succeq ", '≲' -> "\\lesssim ",
+    '≳' -> "\\gtrsim ", '≍' -> "\\asymp ", '≐' -> "\\doteq ", '≔' -> ":=",
+    '∖' -> "\\setminus ", '⊎' -> "\\uplus ", '⊔' -> "\\sqcup ", '⊓' -> "\\sqcap ",
+    '⊈' -> "\\nsubseteq ", '⊊' -> "\\subsetneq ", '⊋' -> "\\supsetneq ",
+    // proofs & logic
+    '⊢' -> "\\vdash ", '⊣' -> "\\dashv ", '⊨' -> "\\models ", '⊤' -> "\\top ",
+    '∄' -> "\\nexists ", '∴' -> "\\therefore ", '∵' -> "\\because ",
+    '∠' -> "\\angle ", '∣' -> "\\mid ", '∤' -> "\\nmid ",
+    // delimiters
+    '⟨' -> "\\langle ", '⟩' -> "\\rangle ", '⌊' -> "\\lfloor ",
+    '⌋' -> "\\rfloor ", '⌈' -> "\\lceil ", '⌉' -> "\\rceil ",
+    // big operators
+    '⨁' -> "\\bigoplus ", '⨂' -> "\\bigotimes ", '⋃' -> "\\bigcup ",
+    '⋂' -> "\\bigcap ", '∮' -> "\\oint ", '∬' -> "\\iint ", '∭' -> "\\iiint ",
+    // stars, daggers, harpoons, vertical arrows
+    '∗' -> "\\ast ", '⋆' -> "\\star ", '†' -> "\\dagger ", '‡' -> "\\ddagger ",
+    '‖' -> "\\| ", '↑' -> "\\uparrow ", '↓' -> "\\downarrow ",
+    '⇑' -> "\\Uparrow ", '⇓' -> "\\Downarrow ",
+    '↪' -> "\\hookrightarrow ", '↩' -> "\\hookleftarrow ",
+    '⇀' -> "\\rightharpoonup ", '↼' -> "\\leftharpoonup ",
+    // blackboard / script / misc math letters
     'ℝ' -> "\\mathbb{R} ", 'ℕ' -> "\\mathbb{N} ", 'ℤ' -> "\\mathbb{Z} ",
-    'ℚ' -> "\\mathbb{Q} ", 'ℂ' -> "\\mathbb{C} ", 'ℓ' -> "\\ell ",
+    'ℚ' -> "\\mathbb{Q} ", 'ℂ' -> "\\mathbb{C} ", 'ℙ' -> "\\mathbb{P} ",
+    'ℓ' -> "\\ell ", 'ℜ' -> "\\Re ", 'ℑ' -> "\\Im ", 'ℵ' -> "\\aleph ",
+    '℘' -> "\\wp ", 'ℒ' -> "\\mathcal{L} ", 'ℋ' -> "\\mathcal{H} ",
+    'ℰ' -> "\\mathcal{E} ",
     'ℏ' -> "\\hbar ", '′' -> "'", '″' -> "''", '…' -> "\\ldots ",
     '·' -> "\\cdot ", '°' -> "^{\\circ}",
     // accented latin (pylatexenc-style, braces pre-stripped) and quotes

@@ -46,6 +46,36 @@ class TexNormalizerSpec extends AnyFunSuite {
     assert(TexNormalizer.unicodeToLatex("“x”") == "\"x\"")
   }
 
+  test("extended symbol table: delimiters, relations, script letters") {
+    assert(n("⟨x, y⟩") == "\\(\\langle x, y\\rangle\\)")
+    assert(n("⌊x⌋ ≪ ⌈y⌉") == "\\(\\lfloor x\\rfloor \\ll \\lceil y\\rceil\\)")
+    assert(n("ℜ(z) ⊢ ℑ(z)") == "\\(\\Re (z) \\vdash \\Im (z)\\)")
+    assert(n("A ∖ B ⊊ C") == "\\(A \\setminus B \\subsetneq C\\)")
+    assert(n("x ≺ y ⪯ z") == "\\(x \\prec y \\preceq z\\)")
+    assert(n("∴ P ∵ Q") == "\\(\\therefore P \\because Q\\)")
+    // ϵ routes through the \epsilon→\varepsilon synonym canonicalization
+    assert(n("ϑ ϵ ς") == "\\(\\vartheta \\varepsilon \\varsigma\\)")
+  }
+
+  test("umlaut regex collapses spelled accent commands (latex_conversion.py:46-53)") {
+    assert(n("\\ddot a + b") == "\\(\\\"a + b\\)")
+    assert(n("\\textasciidieresis o") == "\\(\\\"o\\)")
+    assert(n("\\textasciicaron c") == "\\(\\v c\\)")
+    assert(n("\\textasciicircum e") == "\\(\\^e\\)")
+    // no bare letter after the command → untouched
+    assert(n("\\ddot{x}") == "\\(\\ddot{x}\\)")
+  }
+
+  test("ascii fold: the unidecode tail (latex_conversion.py:101)") {
+    assert(n("a – b — c") == "\\(a - b -- c\\)")
+    assert(n("ﬁeld ﬂow") == "\\(field flow\\)")
+    assert(n("½ + ¼") == "\\(1/2 + 1/4\\)")
+    assert(n("x² y₃") == "\\(x2 y3\\)")
+    assert(n("Ångström ø") == "\\(Angstr\\\"om o\\)")
+    // unknown non-ASCII is dropped, like the reference's ignore policy
+    assert(n("a中b") == "\\(ab\\)")
+  }
+
   test("pt2px geometry (X20, create_index.py:30-37)") {
     import graft.queries.MultiModal.convertPt2Px
     assert(convertPt2Px(Seq(72.0, 36.0, 54.75)) == Seq(96, 48, 73))
