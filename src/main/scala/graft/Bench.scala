@@ -65,15 +65,21 @@ object Bench {
     ScalingBench.prepareCorpus(scalePages)
     ScalingBench.runAt(32, scalePages) // C2 warm for the timed rounds
     val rs = (1 to scaleRounds).map(_ => ScalingBench.round(8, 32, scalePages))
-    val rep = ScalingBench.Report.build(rs, scalePages, 8, 32)
     val lo = rs.map(_.lo.docsPerSec).max
     val hi = rs.map(_.hi.docsPerSec).max
-    // keep BENCH/BASELINE.md in lockstep with the round's BENCH json
-    try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), rep.md)
+    // persist this invocation's rounds and regenerate BENCH/BASELINE.md
+    // from ALL stored runs (independent-run stability evidence)
+    val rep = try {
+      val r = ScalingBench.Report.persistAndBuild(rs, scalePages, 8, 32)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), r.md)
+      r
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH/BASELINE.md: ${e.getMessage}") }
+      System.err.println(s"[bench] could not persist scaling run: ${e.getMessage}")
+      ScalingBench.Report.build(Seq(ScalingBench.Report.StoredRun(
+        0L, scalePages, 8, 32,
+        rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)),
+        rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest)).distinct.length == 1)))
+    }
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +

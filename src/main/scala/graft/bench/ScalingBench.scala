@@ -13,6 +13,22 @@ object ScalingBenchOne {
   }
 }
 
+/** Re-render BENCH/BASELINE.md from the stored runs (no benchmarking):
+  * ScalingReport [nPages] [lo] [hi]. */
+object ScalingReport {
+  def main(args: Array[String]): Unit = {
+    val nPages = args.lift(0).map(_.toLong).getOrElse(1000000L)
+    val lo = args.lift(1).map(_.toInt).getOrElse(8)
+    val hi = args.lift(2).map(_.toInt).getOrElse(32)
+    val runs = ScalingBench.Report.loadAll(nPages, lo, hi)
+    require(runs.nonEmpty, s"no stored runs for pages=$nPages lo=$lo hi=$hi")
+    val rep = ScalingBench.Report.build(runs)
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), rep.md)
+    println(rep.md)
+    println(rep.json)
+  }
+}
+
 /** Two-cluster-size scaling evidence (BASELINE.json north rule: ≥0.8
   * throughput scaling efficiency from N to 4N executors; sandbox
   * stand-in: local[8] vs local[32] on identical input).
@@ -166,69 +182,139 @@ object ScalingBench {
     runAt(hi, nPages)
 
     val rs = (1 to rounds).map(_ => round(lo, hi, nPages))
-    val report = Report.build(rs, nPages, lo, hi)
+    val report = Report.persistAndBuild(rs, nPages, lo, hi)
 
-    Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), report.md)
     println(report.md)
     println(report.json)
     if (!report.identical) sys.exit(2)
   }
 
-  /** Shared report assembly (also used by graft.Bench). */
+  /** Shared report assembly (also used by graft.Bench). Every invocation
+    * persists its per-round data under BENCH/scaling_runs/ and the report
+    * renders ALL stored runs with the same config side by side — the
+    * "stable across independent runs" evidence a single best-of cannot
+    * give on this bursty host.
+    */
   object Report {
     final case class Out(md: String, json: String, identical: Boolean,
                          efficiency: Double, ceiling: Double)
 
-    def build(rs: Seq[Round], nPages: Long, lo: Int, hi: Int): Out = {
-      val loBest = rs.map(_.lo.docsPerSec).max
-      val hiBest = rs.map(_.hi.docsPerSec).max
-      val efficiency = (hiBest / loBest) / (hi.toDouble / lo)
-      // per-round efficiency paired inside one noise window
-      val perRound = rs.map(r => (r.hi.docsPerSec / r.lo.docsPerSec) / (hi.toDouble / lo))
-      val ceiling = median(rs.map(_.ceiling))
+    /** One whole invocation: per-round (ceiling, loDps, hiDps). */
+    final case class StoredRun(stamp: Long, pages: Long, lo: Int, hi: Int,
+                               rounds: Seq[(Double, Double, Double)], identical: Boolean) {
+      def loBest: Double = rounds.map(_._2).max
+      def hiBest: Double = rounds.map(_._3).max
+      def efficiency: Double = (hiBest / loBest) / (hi.toDouble / lo)
+      def perRound: Seq[Double] = rounds.map(r => (r._3 / r._2) / (hi.toDouble / lo))
+      def ceiling: Double = median(rounds.map(_._1))
+    }
+
+    private val runsDir = Paths.get("BENCH/scaling_runs")
+
+    /** Persist this invocation, then render every stored same-config run. */
+    def persistAndBuild(rs: Seq[Round], nPages: Long, lo: Int, hi: Int): Out = {
       val identical =
-        (rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest))).distinct.length == 1
-      val md =
-        f"""# BENCH — scaling evidence (north rule)
-           |
-           |Extraction pipeline over a parquet-materialized synthetic corpus
-           |(seed 42; identical bytes read in every run; $partitions partitions at
-           |BOTH levels so only parallelism varies) at two parallelism levels —
-           |the sandbox stand-in for N vs 4N executors (BASELINE.json
-           |north_rule). ${rs.length} interleaved rounds; each round samples a
-           |pure-CPU scaling probe in the same noise window, then lo once,
-           |then hi twice keeping the best — the hi run is ~4× shorter,
-           |so it gets proportionally more samples of this host's bursty noise.
-           |
-           || round | cpu probe $lo→$hi | docs/s @$lo | docs/s @$hi | paired eff |
-           ||---|---|---|---|---|
-           |${rs.zipWithIndex.map { case (r, i) =>
-               f"| ${i + 1} | ${r.ceiling}%.3f | ${r.lo.docsPerSec}%.0f | ${r.hi.docsPerSec}%.0f | ${perRound(i)}%.3f |"
-             }.mkString("\n|")}
-           |
-           |- pages per run: $nPages
-           |- best-of-rounds throughput: $loBest%.0f docs/s @$lo → $hiBest%.0f docs/s @$hi
-           |- **scaling efficiency (best-of): $efficiency%.3f** (north-rule target ≥ 0.8)
-           |- paired per-round efficiency: ${perRound.map(e => f"$e%.3f").mkString(", ")} (median ${median(perRound)}%.3f)
-           |- pure-CPU ceiling (median of per-round probes): **$ceiling%.3f** —
-           |  this container's ${Runtime.getRuntime.availableProcessors} vCPUs show bursty host-level
-           |  contention (probe range ${rs.map(_.ceiling).min}%.3f–${rs.map(_.ceiling).max}%.3f); a perfectly-scaling
-           |  compute-bound program tops out at the probe value in the same window
-           |- efficiency normalized to the matched-window ceiling: **${efficiency / ceiling}%.3f**
-           |- output digests byte-identical across ALL ${rs.length * 2} timed runs: **$identical**
-           |  (order-insensitive sum of per-row xxhash64 over (url, markdown) —
-           |  the north-rule determinism witness across parallelism levels)
-           |
-           |On a real cluster N→4N executors are separate JVMs on separate
-           |hosts (no shared memory bus or host oversubscription), which is
-           |the regime the normalized number models.
-           |
-           |Generated by `graft.bench.ScalingBench $nPages $lo $hi ${rs.length}`.
-           |""".stripMargin
+        rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest)).distinct.length == 1
+      val run = StoredRun(System.currentTimeMillis(), nPages, lo, hi,
+        rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)), identical)
+      Files.createDirectories(runsDir)
+      val body = (s"pages=$nPages lo=$lo hi=$hi identical=$identical" +:
+        run.rounds.map(r => f"${r._1}%.4f ${r._2}%.1f ${r._3}%.1f")).mkString("\n") + "\n"
+      Files.writeString(runsDir.resolve(s"run_${run.stamp}.txt"), body)
+      build(loadAll(nPages, lo, hi))
+    }
+
+    /** All stored runs matching this config, oldest first. */
+    def loadAll(nPages: Long, lo: Int, hi: Int): Seq[StoredRun] = {
+      if (!Files.isDirectory(runsDir)) return Seq.empty
+      val files = Files.list(runsDir).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[StoredRun]
+      while (files.hasNext) {
+        val f = files.next()
+        val name = f.getFileName.toString
+        if (name.startsWith("run_") && name.endsWith(".txt")) try {
+          val lines = Files.readAllLines(f)
+          val hdr = lines.get(0).split(' ').map(_.split('=')).map(a => a(0) -> a(1)).toMap
+          if (hdr("pages").toLong == nPages && hdr("lo").toInt == lo && hdr("hi").toInt == hi) {
+            val rounds = (1 until lines.size).map { i =>
+              val p = lines.get(i).split(' ')
+              (p(0).toDouble, p(1).toDouble, p(2).toDouble)
+            }
+            out += StoredRun(name.stripPrefix("run_").stripSuffix(".txt").toLong,
+              nPages, lo, hi, rounds, hdr("identical").toBoolean)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () } // stale format: skip
+      }
+      out.sortBy(_.stamp).toSeq
+    }
+
+    def build(runs: Seq[StoredRun]): Out = {
+      val latest = runs.last
+      val lo = latest.lo; val hi = latest.hi; val nPages = latest.pages
+      val allIdentical = runs.forall(_.identical)
+      val effs = runs.map(_.efficiency)
+      val spreadPct =
+        if (runs.length < 2) 0.0 else (effs.max - effs.min) / effs.max * 100.0
+      // assembled WITHOUT stripMargin: these lines embed in the outer
+      // stripMargin'd template, which would eat the tables' leading '|'
+      val runTables = runs.zipWithIndex.map { case (r, ri) =>
+        (Seq(
+          s"## Run ${ri + 1} (${r.rounds.length} interleaved rounds)",
+          "",
+          s"| round | cpu probe $lo→$hi | docs/s @$lo | docs/s @$hi | paired eff |",
+          "|---|---|---|---|---|") ++
+         r.rounds.zipWithIndex.map { case ((c, l, h), i) =>
+           f"| ${i + 1} | $c%.3f | $l%.0f | $h%.0f | ${r.perRound(i)}%.3f |"
+         } ++
+         Seq(
+           "",
+           f"- best-of: $lo→$hi ${r.loBest}%.0f → ${r.hiBest}%.0f docs/s → **efficiency ${r.efficiency}%.3f**",
+           f"- median paired efficiency: ${median(r.perRound)}%.3f; probe ceiling ${r.ceiling}%.3f;",
+           f"  normalized ${r.efficiency / r.ceiling}%.3f; output byte-identical: ${r.identical}",
+           "")).mkString("\n")
+      }.mkString("\n")
+      val stability =
+        if (runs.length < 2)
+          Seq("- (one stored run so far — a second independent invocation adds the stability row)")
+        else Seq(
+          f"- independent-run agreement: best-of efficiencies ${effs.map(e => f"$e%.3f").mkString(", ")}",
+          f"  → relative spread $spreadPct%.1f%% (target ≤ ~15%%); medians of paired rounds:",
+          s"  ${runs.map(r => f"${median(r.perRound)}%.3f").mkString(", ")}")
+      val md = (Seq(
+        "# BENCH — scaling evidence (north rule)",
+        "",
+        "Extraction pipeline over a parquet-materialized synthetic corpus",
+        s"(seed 42; identical bytes read in every run; $partitions partitions at",
+        "BOTH levels so only parallelism varies) at two parallelism levels —",
+        "the sandbox stand-in for N vs 4N executors (BASELINE.json",
+        "north_rule). Each INVOCATION below is an independent JVM run of",
+        "interleaved rounds; each round samples a pure-CPU scaling probe in",
+        "the same noise window, then lo once, then hi twice keeping the best",
+        "(the hi run is ~4× shorter, so it gets proportionally more samples",
+        "of this host's bursty noise). Runs accumulate in BENCH/scaling_runs/",
+        "so stability across invocations is visible, not asserted.",
+        "",
+        runTables,
+        "## Across runs",
+        "",
+        s"- pages per run: $nPages; levels: local[$lo] vs local[$hi]",
+        f"- latest run best-of efficiency: **${latest.efficiency}%.3f** (north-rule target ≥ 0.8);",
+        f"  normalized to its matched probe ceiling: **${latest.efficiency / latest.ceiling}%.3f**") ++
+        stability ++ Seq(
+        s"- output digests byte-identical across every stored timed run: **$allIdentical**",
+        "  (order-insensitive sum of per-row xxhash64 over (url, markdown) —",
+        "  the north-rule determinism witness across parallelism levels)",
+        "",
+        "On a real cluster N→4N executors are separate JVMs on separate",
+        "hosts (no shared memory bus or host oversubscription), which is",
+        "the regime the normalized number models.",
+        "",
+        s"Generated by `graft.bench.ScalingBench $nPages $lo $hi ${latest.rounds.length}`.",
+        "")).mkString("\n")
       val json =
-        f"""{"scaling_efficiency":$efficiency%.3f,"cpu_ceiling":$ceiling%.3f,"lo_docs_per_sec":$loBest%.1f,"hi_docs_per_sec":$hiBest%.1f,"identical_output":$identical}"""
-      Out(md, json, identical, efficiency, ceiling)
+        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"identical_output":$allIdentical,"runs_stored":${runs.length},"spread_pct":$spreadPct%.1f}"""
+      Out(md, json, allIdentical, latest.efficiency, latest.ceiling)
     }
 
     def median(xs: Seq[Double]): Double = {
