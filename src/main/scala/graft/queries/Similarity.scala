@@ -88,11 +88,23 @@ object Similarity {
     */
   private[queries] val MaxBroadcastCells = 4096L
 
+  /** Past this many cells the flat n×k candidate join dominates — switch
+    * to the two-level quantizer (exact within probed super-cells). */
+  private[queries] val MaxFlatTableCells = 65536L
+
+  /** Assignment plan ladder by codebook size: one-row broadcast fold
+    * (k ≤ 4096, zero extra rows) → centroid-TABLE join (exact, O(n·k)
+    * candidate rows, WindowGroupLimit-pruned) → two-level quantizer
+    * (O(n·√k), the only tractable shape at 10^6+ cells; approximate in
+    * the standard IVF sense). All three agree bit-for-bit where their
+    * regimes overlap (SimilaritySpec).
+    */
   private[queries] def assignedDf(e: org.apache.spark.sql.DataFrame,
       cap: Long = MaxBroadcastCells): org.apache.spark.sql.DataFrame = {
     val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
     if (k <= cap) assignAgainst(e, broadcast(centroidArray(e, k)))
-    else assignedViaTable(e, k)
+    else if (k <= MaxFlatTableCells) assignedViaTable(e, k)
+    else assignedTwoLevel(e, k)
   }
 
   /** Table-path assignment for codebooks past the broadcast-row cap: the
@@ -107,11 +119,23 @@ object Similarity {
     */
   private[queries] def assignedViaTable(e: org.apache.spark.sql.DataFrame, k: Long)
       : org.apache.spark.sql.DataFrame = {
-    val cTable = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val cTable = centroidTable(e, k)
     val d = e.crossJoin(broadcast(cTable))
       .select(col("vec_id").as("vid"), col("cid"),
         round(sqDist(col("embedding"), col("ce")), 6).as("d26"))
+    top3FromPairs(e, d)
+  }
+
+  private def centroidTable(e: org.apache.spark.sql.DataFrame, k: Long) =
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("ce"))
+
+  /** (vid, cid, d26) candidate pairs → the standard assignment shape
+    * (vec_id, embedding, home, probes, nrm): rank-window top-3 with
+    * WindowGroupLimit pre-shuffle pruning, embeddings joined back last so
+    * the wide column never rides through the candidate explosion. */
+  private def top3FromPairs(e: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("vid")).orderBy(col("d26").asc, col("cid").asc)
     val top = d.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .groupBy("vid")
@@ -122,6 +146,45 @@ object Similarity {
         transform(col("rkc"), x => x.getField("cid")).as("probes"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .persist()
+  }
+
+  /** TWO-LEVEL assignment for codebooks where even the flat n×k candidate
+    * join is too much (k ≳ 10^5 — e.g. ⌈√n⌉ at 10^10+ rows): a ⌈√k⌉-cell
+    * SUPER-quantizer routes both the centroids (each to its one nearest
+    * super-cell) and the vectors (each probing its top-3 super-cells);
+    * the exact argmin then runs only over centroids in probed super-cells
+    * — O(n·√k) distance evaluations instead of O(n·k), at the standard
+    * IVF approximation cost (a true nearest centroid hiding in an
+    * unprobed super-cell is missed; SimilaritySpec pins the measured
+    * agreement with the flat path, and exhaustive super-probing
+    * reproduces it bit-for-bit).
+    */
+  private[queries] def assignedTwoLevel(e: org.apache.spark.sql.DataFrame, k: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val k2 = math.ceil(math.sqrt(k.toDouble)).toLong
+    val cTable = centroidTable(e, k)
+    val superRow = broadcast(cTable.filter(col("cid") < k2)
+      .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents")))
+    // level 1a: every centroid hangs under its single nearest super-cell
+    val grouped = cTable.crossJoin(superRow)
+      .select(col("cid"), col("ce"), nearestCell(col("ce"), col("cents")).as("scid"))
+    // level 1b: every vector probes its top-3 super-cells (persist barrier
+    // before the field extraction — the CollapseProject rule)
+    val routed = e.crossJoin(superRow)
+      .select(col("vec_id"), col("embedding"),
+        top3Cells(col("embedding"), col("cents")).as("sbest"))
+      .persist()
+      .select(col("vec_id"), col("embedding"),
+        explode(array(col("sbest").getField("c1"), col("sbest").getField("c2"),
+          col("sbest").getField("c3"))).as("scid"))
+    // level 2: exact argmin over the probed super-cells' centroids only.
+    // No broadcast hint: past the broadcast regime this is a shuffle join
+    // on scid (√k distinct keys, ~√k centroids + ~3n/√k vectors per key —
+    // no skew collapse); below it AQE broadcasts on its own.
+    val d = routed.join(grouped, Seq("scid"))
+      .select(col("vec_id").as("vid"), col("cid"),
+        round(sqDist(col("embedding"), col("ce")), 6).as("d26"))
+    top3FromPairs(e, d)
   }
 
   /** Assign every vector against a one-row broadcast codebook, routing on

@@ -27,6 +27,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("two-level path with exhaustive super-probing matches the flat path bit-for-bit") {
+    // with k = 9, k2 = ceil(sqrt(9)) = 3, so probing the top-3 super-cells
+    // covers ALL of them — the two-level result must equal flat exactly
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val k = 9L
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "home", "probes").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1).toSeq
+    assert(snap(Similarity.assignedTwoLevel(e, k)) == snap(Similarity.assignedViaTable(e, k)))
+  }
+
+  test("two-level path at sf0.01 (k2 > probes): valid shape, high flat agreement") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toLong // 23 -> k2 = 5
+    val flat = Similarity.assignedViaTable(e, k)
+      .select("vec_id", "home").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val two = Similarity.assignedTwoLevel(e, k)
+      .select("vec_id", "home", "probes").collect()
+    assert(two.length == flat.size, "every vector must be assigned")
+    two.foreach { r =>
+      val probes = r.getSeq[Long](2)
+      assert(probes.nonEmpty && probes.forall(c => c >= 0 && c < k))
+      assert(r.getLong(1) == probes.head, "home must be the first probe")
+    }
+    val agree = two.count(r => r.getLong(1) == flat(r.getLong(0))).toDouble / two.length
+    // measured 0.772 on this fixed corpus; the gap is the documented IVF
+    // approximation (true nearest centroid in an unprobed super-cell) —
+    // probe-3 of 5 super-cells routes ~60% of the codebook per vector
+    assert(agree >= 0.75, f"two-level home agreement $agree%.3f fell below the pinned floor")
+  }
+
   test("table path plans a WindowGroupLimit so top-3 prunes before the exchange") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
