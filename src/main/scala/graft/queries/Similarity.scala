@@ -34,7 +34,7 @@ object Similarity {
     * k ~ √n keeps cell population ~√n (the IVF balance point); at real
     * scale k is a trained codebook of bounded size, same plan shape.
     */
-  private def centroidArray(e: org.apache.spark.sql.DataFrame, k: Long) =
+  private[queries] def centroidArray(e: org.apache.spark.sql.DataFrame, k: Long) =
     e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("ce"))
       .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
@@ -102,7 +102,7 @@ object Similarity {
   private[queries] def assignedDf(e: org.apache.spark.sql.DataFrame,
       cap: Long = MaxBroadcastCells): org.apache.spark.sql.DataFrame = {
     val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
-    if (k <= cap) assignAgainst(e, broadcast(centroidArray(e, k)))
+    if (k <= cap) assignScala(e, collectCents(centroidTable(e, k)))
     else if (k <= MaxFlatTableCells) assignedViaTable(e, k)
     else assignedTwoLevel(e, k)
   }
@@ -126,7 +126,7 @@ object Similarity {
     top3FromPairs(e, d)
   }
 
-  private def centroidTable(e: org.apache.spark.sql.DataFrame, k: Long) =
+  private[queries] def centroidTable(e: org.apache.spark.sql.DataFrame, k: Long) =
     e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("ce"))
 
@@ -196,7 +196,7 @@ object Similarity {
     * four field extractions below (4× the arithmetic — the CLAUDE.md
     * multi-use-array rule). Consumers reuse the cached assignment.
     */
-  private def assignAgainst(e: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
+  private[queries] def assignAgainst(e: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
       by: String = "embedding"): org.apache.spark.sql.DataFrame =
     e.crossJoin(cents)
       .select(col("vec_id"), col("embedding"),
@@ -207,6 +207,76 @@ object Similarity {
         array(col("best").getField("c1"), col("best").getField("c2"),
           col("best").getField("c3")).as("probes"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+
+  // ---- typed-map twin of the broadcast assignment ------------------------
+  // Higher-order Column functions are interpreted (no codegen, no CSE);
+  // for the hot O(n·k·dim) assignment a plain Scala loop is ~10× cheaper
+  // at IDENTICAL arithmetic: same elementwise float→double widening, same
+  // left-to-right fold, same HALF_UP 6-decimal rounding (the exact
+  // BigDecimal path Spark's Round takes on doubles), same strict-<
+  // ascending-cid tie rule. SimilaritySpec asserts both paths agree
+  // bit-for-bit; the DuckDB oracle gate re-proves it per round.
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Top-3 cells by round6(squared L2), ties on ascending cid (cents MUST
+    * arrive cid-ascending); absent slots stay Long.MaxValue like the fold. */
+  private def scalaTop3(v: Array[Double], cents: Array[(Long, Array[Double])]): Array[Long] = {
+    var d1 = Double.MaxValue; var c1 = Long.MaxValue
+    var d2 = Double.MaxValue; var c2 = Long.MaxValue
+    var d3 = Double.MaxValue; var c3 = Long.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val cid = cents(i)._1
+      val ce = cents(i)._2
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { val d = v(j) - ce(j); s += d * d; j += 1 }
+      val dd = round6(s)
+      if (dd < d1) { d3 = d2; c3 = c2; d2 = d1; c2 = c1; d1 = dd; c1 = cid }
+      else if (dd < d2) { d3 = d2; c3 = c2; d2 = dd; c2 = cid }
+      else if (dd < d3) { d3 = dd; c3 = cid }
+      i += 1
+    }
+    Array(c1, c2, c3)
+  }
+
+  /** Codebook table (cid, ce) → driver array, cid-ascending. Bounded by
+    * the MaxBroadcastCells cap — the "trained codebook of bounded size"
+    * contract that makes a driver-side codebook legitimate at any corpus
+    * scale. */
+  private[queries] def collectCents(cTable: org.apache.spark.sql.DataFrame): Array[(Long, Array[Double])] =
+    cTable.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  private final case class Assigned(vec_id: Long, embedding: Array[Float],
+                                    home: Long, probes: Array[Long], nrm: Double)
+
+  /** mapPartitions assignment against a driver-side codebook: the same
+    * (vec_id, embedding, home, probes, nrm) contract as [[assignAgainst]].
+    */
+  private[queries] def assignScala(e: org.apache.spark.sql.DataFrame,
+      cents: Array[(Long, Array[Double])], by: String = "embedding")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    e.select(col("vec_id"), col("embedding"), col(by).cast("array<double>").as("byv"))
+      .as[(Long, Array[Float], Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (vid, emb, v) =>
+          val top = scalaTop3(v, cs)
+          var s = 0.0
+          var j = 0
+          while (j < emb.length) { val x = emb(j).toDouble; s += x * x; j += 1 }
+          Assigned(vid, emb, top(0), top, math.sqrt(s))
+        }
+      }
+      .toDF()
+      .persist()
+  }
 
   /** The IVF-assignment CTE chain shared by the q31/q32/q39 oracles —
     * one definition so quantizer tuning can never diverge between them
@@ -509,9 +579,17 @@ object Similarity {
     */
   private def lloydRound(en: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val packed = broadcast(cb.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents")))
-    val assigned = en.crossJoin(packed)
-      .select(col("vec_id"), col("ne"), nearestCell(col("ne"), col("cents")).as("cell"))
+    val spark = en.sparkSession
+    import spark.implicits._
+    // driver-side codebook per round (k rows — the k-means-on-Spark norm);
+    // the typed map keeps the hot O(n·k·dim) loop out of interpreted HOFs
+    val bc = spark.sparkContext.broadcast(collectCents(cb))
+    val assigned = en.select(col("vec_id"), col("ne")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (vid, v) => (vid, v, scalaTop3(v, cs)(0)) }
+      }
+      .toDF("vec_id", "ne", "cell")
     val means = assigned.select(col("cell"), posexplode(col("ne")).as(Seq("pos0", "v")))
       .groupBy("cell", "pos0")
       .agg((sum(col("v").cast("decimal(9,6)")).cast("double") / count(lit(1))).as("cv"))
@@ -551,9 +629,7 @@ object Similarity {
           transform(col("pcs"), x => x.getField("cv")).as("ce"))
         .persist()
       val trained = (1 to 3).foldLeft(cb0)((cb, _) => lloydRound(en, cb))
-      val cents = broadcast(trained.agg(
-        array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents")))
-      recallFromAssigned(assignAgainst(en, cents, by = "ne"))
+      recallFromAssigned(assignScala(en, collectCents(trained), by = "ne"))
     },
     Some(s"""
       WITH en AS (SELECT vec_id, label,

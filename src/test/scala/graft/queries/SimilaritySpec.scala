@@ -27,6 +27,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("typed-map assignment matches the expression-fold path bit-for-bit (incl. nrm)") {
+    // the hot path is a Scala loop (interpreted HOFs are ~10× slower);
+    // semantics must stay EXACTLY the Column-expression fold's: same
+    // float→double widening, fold order, HALF_UP round-6, tie rule
+    import org.apache.spark.sql.functions.broadcast
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "home", "probes", "nrm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getDouble(3))).sortBy(_._1).toSeq
+    val viaScala = snap(Similarity.assignScala(e, Similarity.collectCents(Similarity.centroidTable(e, k))))
+    val viaExpr = snap(Similarity.assignAgainst(e, broadcast(Similarity.centroidArray(e, k))))
+    assert(viaScala.length == viaExpr.length && viaScala.nonEmpty)
+    viaScala.zip(viaExpr).foreach { case (s, x) =>
+      assert(s == x, s"typed map diverged from expression fold at vec_id ${s._1}: scala=$s expr=$x")
+    }
+  }
+
   test("two-level path with exhaustive super-probing matches the flat path bit-for-bit") {
     // with k = 9, k2 = ceil(sqrt(9)) = 3, so probing the top-3 super-cells
     // covers ALL of them — the two-level result must equal flat exactly
