@@ -287,7 +287,10 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(sm.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // both sides are distinct sets, so equal counts + one-sided
+      // emptiness ⟹ equality; the count gate skips the expensive
+      // except entirely in the rounds that are still shrinking
+      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
       edges = next
       iter += 1
     }
