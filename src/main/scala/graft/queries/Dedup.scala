@@ -152,33 +152,47 @@ object Dedup {
     """.trim)
   )
 
-  /** 16-bit SimHash: per-bit signed votes over word features. The whole
-    * signature is a single row-local ordered fold (`aggregate` HOF over
-    * the token array with a 16-slot vote accumulator) — zero shuffles,
-    * zero row blowup; the only Exchange in the plan is the final orderBy.
+  /** 16-bit SimHash skeleton: per-bit signed votes over (mixed) word
+    * features, the whole signature one row-local ordered fold — zero
+    * shuffles, zero row blowup. */
+  private def simhashOver(text: Column, mix: Column => Column): Column = {
+    val bits = sequence(lit(0), lit(15))
+    val votes = aggregate(
+      tokens(text),
+      array_repeat(lit(0L), 16),
+      (acc, w) => {
+        val f = mix(wordFeature(w))
+        zip_with(acc, bits, (a, i) => {
+          val p2 = pow(lit(2.0), i).cast("long")
+          val bit = pmod(floor(f.cast("double") / p2).cast("long"), lit(2L))
+          a + when(bit === 1, 1L).otherwise(-1L)
+        })
+      })
+    aggregate(
+      zip_with(votes, bits, (v, i) => when(v > 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** The q21 signature: votes over the RAW word feature (bit-exactly what
+    * the DuckDB oracle replicates). */
+  private[graft] def simhashCol(text: Column): Column = simhashOver(text, identity)
+
+  /** Banding-grade SimHash for the streaming near-dup filter: word
+    * features pass through a Knuth multiplicative mix first, so all 16
+    * output bits carry signal — the raw q21 feature stays below 2^9, which
+    * leaves the top bands degenerate (always 0) and useless as LSH keys.
     */
+  private[graft] def simhashMixedCol(text: Column): Column =
+    simhashOver(text, f => pmod(f * lit(2654435761L), lit(4294967296L)))
+
+  /** The q21 operator over documents (plan notes on [[simhashCol]]); the
+    * only Exchange in the plan is the final orderBy. */
   val q21Simhash = QueryDef(
     "q21_simhash",
-    (s, dir) => {
-      val bits = sequence(lit(0), lit(15))
-      val votes = aggregate(
-        tokens(col("text")),
-        array_repeat(lit(0L), 16),
-        (acc, w) => {
-          val f = wordFeature(w)
-          zip_with(acc, bits, (a, i) => {
-            val p2 = pow(lit(2.0), i).cast("long")
-            val bit = pmod(floor(f.cast("double") / p2).cast("long"), lit(2L))
-            a + when(bit === 1, 1L).otherwise(-1L)
-          })
-        })
-      val sim = aggregate(
-        zip_with(votes, bits, (v, i) => when(v > 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x)
+    (s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), sim.as("simhash"))
-        .orderBy("doc_id")
-    },
+        .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+        .orderBy("doc_id"),
     Some(s"""
       WITH w AS (SELECT doc_id, ${fw("u.w")} AS f
                  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)),

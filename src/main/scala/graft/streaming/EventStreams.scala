@@ -50,6 +50,42 @@ object EventStreams {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup band filter: each document's 16-bit mixed SimHash
+    * (the batch q21 vote fold over Knuth-mixed word features — the raw
+    * feature's top bands are degenerate) splits into 4 bands of 4 bits;
+    * by pigeonhole, two documents within Hamming distance ≤ 3 share at
+    * least one identical band. Every (band_idx, band_val) key is CLAIMED by its
+    * first arrival within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state bounded by the horizon, the
+    * crawl-scale requirement); the output is the surviving claim stream.
+    * A document that claims all 4 of its bands is novel; one that loses
+    * bands collided with an earlier near-identical document (or an
+    * unlucky band — the standard LSH false-positive trade, settled
+    * downstream by the batch q22 Jaccard verifier). [[classifyClaims]] is
+    * that batch-side classification over a claims sink.
+    */
+  def bandClaimsStream(pages: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", tsCol: String = "ts",
+                       horizon: String = "10 minutes"): DataFrame = {
+    val bandVals = array((0 until 4).map(i =>
+      pmod(floor(col("simhash").cast("double") / math.pow(16, i)).cast("long"), lit(16L))): _*)
+    pages
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("simhash", graft.queries.Dedup.simhashMixedCol(col(textCol)))
+      .select(col(idCol), col(tsCol),
+        posexplode(bandVals).as(Seq("band_idx", "band_val")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("band_idx", "band_val")
+  }
+
+  /** Batch classification over a band-claims sink: a doc is novel iff it
+    * claimed every one of its bands first. */
+  def classifyClaims(claims: DataFrame, idCol: String = "doc_id",
+                     totalBands: Int = 4): DataFrame =
+    claims.groupBy(idCol)
+      .agg(count(lit(1)).as("bands_claimed"))
+      .withColumn("novel", col("bands_claimed") === totalBands)
+
   /** Custom session state via flatMapGroupsWithState: a user's session
     * closes after `gapMs` of inactivity — either when a later event
     * arrives past the gap, or when the processing-time timeout fires

@@ -52,6 +52,55 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.started_ms == 0 && s.last_ms == 20 * 60000L)
   }
 
+  test("streaming near-dup band filter: a one-word edit loses its bands across batches") {
+    import spark.implicits._
+    // fixture pinned against the mixed simhash: B is A with one word
+    // changed (Hamming distance 1 → shares 3 of 4 bands with A); C and D
+    // are unrelated with fully distinct band values
+    val a = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val b = "the quick brown fox jumps over the lazy dog and sprints far away tonight"
+    val c = "completely unrelated subject matter discussing numerical weather prediction models yesterday"
+    val d = "another entirely distinct document about medieval castle architecture and fortification design"
+    def rows(ids: Seq[(Long, String, Long)]) = ids.toDF("doc_id", "text", "minute")
+      .select(col("doc_id"), col("text"),
+        (col("minute") * 60L).cast("timestamp").as("ts")) // long→ts = SECONDS
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream")
+    // minute 10, not 0: an event time equal to the INITIAL watermark
+    // (epoch) is already "late" (the predicate is ts > watermark) and
+    // would be silently dropped
+    rows(Seq((1L, a, 10L))).coalesce(1).write.parquet(dir.toString + "/f1")
+    rows(Seq((2L, b, 12L), (3L, c, 13L), (4L, d, 14L)))
+      .coalesce(1).write.parquet(dir.toString + "/f2")
+    val flat = java.nio.file.Files.createTempDirectory("neardup_flat")
+    Seq("f1", "f2").zipWithIndex.foreach { case (f, i) =>
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$f"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(s"part$i.parquet")
+      java.nio.file.Files.copy(src, dst)
+      // the file source orders triggers by modification time; equal
+      // mtimes make the trigger order a coin flip, and a later-file-first
+      // order advances the watermark past doc 1 (late rows are DROPPED
+      // by dropDuplicatesWithinWatermark) — pin the order explicitly
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = EventStreams.bandClaimsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("band_claims")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.awaitTermination(60000); q.stop()
+    val verdicts = EventStreams.classifyClaims(spark.table("band_claims"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(verdicts.toSeq == Seq(
+      (1L, 4L, true),   // first arrival claims everything
+      (2L, 1L, false),  // near-dup of 1: only its single differing band
+      (3L, 4L, true), (4L, 4L, true)))
+  }
+
   test("streaming exact dedup: first content-hash arrival wins across batches") {
     import spark.implicits._
     // two parquet files → two triggers; duplicates appear both inside a
