@@ -219,8 +219,11 @@ object ScalingBench {
       val run = StoredRun(System.currentTimeMillis(), nPages, lo, hi,
         rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)), identical)
       Files.createDirectories(runsDir)
+      // Double.toString, never the f-interpolator: String.format follows
+      // the JVM default locale (comma decimals under de_DE etc.) and the
+      // round trip through toDouble would silently drop every stored run
       val body = (s"pages=$nPages lo=$lo hi=$hi identical=$identical" +:
-        run.rounds.map(r => f"${r._1}%.4f ${r._2}%.1f ${r._3}%.1f")).mkString("\n") + "\n"
+        run.rounds.map(r => s"${r._1} ${r._2} ${r._3}")).mkString("\n") + "\n"
       Files.writeString(runsDir.resolve(s"run_${run.stamp}.txt"), body)
       build(loadAll(nPages, lo, hi))
     }
@@ -228,31 +231,38 @@ object ScalingBench {
     /** All stored runs matching this config, oldest first. */
     def loadAll(nPages: Long, lo: Int, hi: Int): Seq[StoredRun] = {
       if (!Files.isDirectory(runsDir)) return Seq.empty
-      val files = Files.list(runsDir).iterator()
+      val listing = Files.list(runsDir)
       val out = scala.collection.mutable.ArrayBuffer.empty[StoredRun]
-      while (files.hasNext) {
-        val f = files.next()
-        val name = f.getFileName.toString
-        if (name.startsWith("run_") && name.endsWith(".txt")) try {
-          val lines = Files.readAllLines(f)
-          val hdr = lines.get(0).split(' ').map(_.split('=')).map(a => a(0) -> a(1)).toMap
-          if (hdr("pages").toLong == nPages && hdr("lo").toInt == lo && hdr("hi").toInt == hi) {
-            val rounds = (1 until lines.size).map { i =>
-              val p = lines.get(i).split(' ')
-              (p(0).toDouble, p(1).toDouble, p(2).toDouble)
+      try {
+        val files = listing.iterator()
+        while (files.hasNext) {
+          val f = files.next()
+          val name = f.getFileName.toString
+          if (name.startsWith("run_") && name.endsWith(".txt")) try {
+            val lines = Files.readAllLines(f)
+            val hdr = lines.get(0).split(' ').map(_.split('=')).map(a => a(0) -> a(1)).toMap
+            if (hdr("pages").toLong == nPages && hdr("lo").toInt == lo && hdr("hi").toInt == hi) {
+              val rounds = (1 until lines.size).map { i =>
+                val p = lines.get(i).split(' ')
+                (p(0).toDouble, p(1).toDouble, p(2).toDouble)
+              }
+              out += StoredRun(name.stripPrefix("run_").stripSuffix(".txt").toLong,
+                nPages, lo, hi, rounds, hdr("identical").toBoolean)
             }
-            out += StoredRun(name.stripPrefix("run_").stripSuffix(".txt").toLong,
-              nPages, lo, hi, rounds, hdr("identical").toBoolean)
-          }
-        } catch { case scala.util.control.NonFatal(_) => () } // stale format: skip
-      }
+          } catch { case scala.util.control.NonFatal(_) => () } // stale format: skip
+        }
+      } finally listing.close() // Files.list holds an open DirectoryStream
       out.sortBy(_.stamp).toSeq
     }
 
     def build(runs: Seq[StoredRun]): Out = {
       val latest = runs.last
       val lo = latest.lo; val hi = latest.hi; val nPages = latest.pages
+      // the gate and the headline JSON report THIS invocation's digests;
+      // one stale bad stored run must not permanently fail future runs —
+      // historical agreement is reported as its own line instead
       val allIdentical = runs.forall(_.identical)
+      val latestIdentical = latest.identical
       val effs = runs.map(_.efficiency)
       val spreadPct =
         if (runs.length < 2) 0.0 else (effs.max - effs.min) / effs.max * 100.0
@@ -302,7 +312,8 @@ object ScalingBench {
         f"- latest run best-of efficiency: **${latest.efficiency}%.3f** (north-rule target ≥ 0.8);",
         f"  normalized to its matched probe ceiling: **${latest.efficiency / latest.ceiling}%.3f**") ++
         stability ++ Seq(
-        s"- output digests byte-identical across every stored timed run: **$allIdentical**",
+        s"- output digests byte-identical across this run's timed jobs: **$latestIdentical**",
+        s"  (and across every stored run: $allIdentical)",
         "  (order-insensitive sum of per-row xxhash64 over (url, markdown) —",
         "  the north-rule determinism witness across parallelism levels)",
         "",
@@ -313,8 +324,8 @@ object ScalingBench {
         s"Generated by `graft.bench.ScalingBench $nPages $lo $hi ${latest.rounds.length}`.",
         "")).mkString("\n")
       val json =
-        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"identical_output":$allIdentical,"runs_stored":${runs.length},"spread_pct":$spreadPct%.1f}"""
-      Out(md, json, allIdentical, latest.efficiency, latest.ceiling)
+        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"spread_pct":$spreadPct%.1f}"""
+      Out(md, json, latestIdentical, latest.efficiency, latest.ceiling)
     }
 
     def median(xs: Seq[Double]): Double = {

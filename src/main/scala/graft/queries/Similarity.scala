@@ -253,6 +253,9 @@ object Similarity {
   private final case class Assigned(vec_id: Long, embedding: Array[Float],
                                     home: Long, probes: Array[Long], nrm: Double)
 
+  private final case class NormRow(vec_id: Long, label: Int,
+                                   embedding: Array[Float], ne: Array[Double])
+
   /** mapPartitions assignment against a driver-side codebook: the same
     * (vec_id, embedding, home, probes, nrm) contract as [[assignAgainst]].
     */
@@ -615,11 +618,27 @@ object Similarity {
     (s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       // normalized coordinates rounded to 6 decimals: all downstream
-      // means go through exact DECIMAL(9,6) sums on both engines
-      val en = e.select(col("vec_id"), col("label"), col("embedding"),
-        transform(col("embedding"),
-          x => round(x.cast("double") / sqrt(dot(col("embedding"), col("embedding"))), 6)).as("ne"))
-        .persist()
+      // means go through exact DECIMAL(9,6) sums on both engines. Typed
+      // map, not a transform lambda: re-embedding the norm aggregate
+      // inside the per-element lambda would evaluate it once PER ELEMENT
+      // (interpreted HOFs have no CSE) — O(dim²) per row
+      val en = {
+        import s.implicits._
+        e.select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, Int, Array[Float])]
+          .mapPartitions(_.map { case (vid, lab, emb) =>
+            var ss = 0.0
+            var i = 0
+            while (i < emb.length) { val x = emb(i).toDouble; ss += x * x; i += 1 }
+            val nrm = math.sqrt(ss)
+            val ne = new Array[Double](emb.length)
+            i = 0
+            while (i < emb.length) { ne(i) = round6(emb(i).toDouble / nrm); i += 1 }
+            NormRow(vid, lab, emb, ne)
+          })
+          .toDF()
+          .persist()
+      }
       val cb0 = en.select(col("label"), posexplode(col("ne")).as(Seq("pos0", "v")))
         .groupBy("label", "pos0")
         .agg((sum(col("v").cast("decimal(9,6)")).cast("double") / count(lit(1))).as("cv"))

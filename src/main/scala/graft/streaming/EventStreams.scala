@@ -79,11 +79,16 @@ object EventStreams {
   }
 
   /** Batch classification over a band-claims sink: a doc is novel iff it
-    * claimed every one of its bands first. */
-  def classifyClaims(claims: DataFrame, idCol: String = "doc_id",
+    * claimed every one of its bands first. Takes the ingested-doc
+    * universe explicitly — a document that lost ALL its bands (an exact
+    * duplicate, the most certain case) contributes zero claim rows, so a
+    * groupBy over claims alone would silently omit it instead of
+    * classifying it novel=false. */
+  def classifyClaims(claims: DataFrame, docs: DataFrame, idCol: String = "doc_id",
                      totalBands: Int = 4): DataFrame =
-    claims.groupBy(idCol)
-      .agg(count(lit(1)).as("bands_claimed"))
+    docs.select(col(idCol)).distinct()
+      .join(claims.groupBy(idCol).agg(count(lit(1)).as("n")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("bands_claimed"))
       .withColumn("novel", col("bands_claimed") === totalBands)
 
   /** Custom session state via flatMapGroupsWithState: a user's session

@@ -69,7 +69,9 @@ class EventStreamsSpec extends AnyFunSuite {
     // (epoch) is already "late" (the predicate is ts > watermark) and
     // would be silently dropped
     rows(Seq((1L, a, 10L))).coalesce(1).write.parquet(dir.toString + "/f1")
-    rows(Seq((2L, b, 12L), (3L, c, 13L), (4L, d, 14L)))
+    // doc 5 is an EXACT copy of doc 1: loses all 4 bands, so it emits no
+    // claim rows at all — classifyClaims must still return it (novel=false)
+    rows(Seq((2L, b, 12L), (3L, c, 13L), (4L, d, 14L), (5L, a, 15L)))
       .coalesce(1).write.parquet(dir.toString + "/f2")
     val flat = java.nio.file.Files.createTempDirectory("neardup_flat")
     Seq("f1", "f2").zipWithIndex.foreach { case (f, i) =>
@@ -93,12 +95,14 @@ class EventStreamsSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable(); q.awaitTermination(60000); q.stop()
-    val verdicts = EventStreams.classifyClaims(spark.table("band_claims"))
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val verdicts = EventStreams.classifyClaims(spark.table("band_claims"), docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
     assert(verdicts.toSeq == Seq(
       (1L, 4L, true),   // first arrival claims everything
       (2L, 1L, false),  // near-dup of 1: only its single differing band
-      (3L, 4L, true), (4L, 4L, true)))
+      (3L, 4L, true), (4L, 4L, true),
+      (5L, 0L, false))) // exact dup: zero claims, still classified
   }
 
   test("streaming exact dedup: first content-hash arrival wins across batches") {
