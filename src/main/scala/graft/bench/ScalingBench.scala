@@ -212,20 +212,28 @@ object ScalingBench {
 
     private val runsDir = Paths.get("BENCH/scaling_runs")
 
-    /** Persist this invocation, then render every stored same-config run. */
+    /** Persist this invocation, then render every stored same-config run.
+      * The just-built run is passed through as the authoritative "latest"
+      * (never rediscovered by max timestamp — a backwards clock step
+      * would otherwise gate a PREVIOUS run's digests), and the filename
+      * stamp is bumped past any collision so same-millisecond invocations
+      * cannot overwrite each other. */
     def persistAndBuild(rs: Seq[Round], nPages: Long, lo: Int, hi: Int): Out = {
+      require(rs.nonEmpty, "persistAndBuild needs at least one round")
       val identical =
         rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest)).distinct.length == 1
-      val run = StoredRun(System.currentTimeMillis(), nPages, lo, hi,
-        rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)), identical)
       Files.createDirectories(runsDir)
+      var stamp = System.currentTimeMillis()
+      while (Files.exists(runsDir.resolve(s"run_$stamp.txt"))) stamp += 1
+      val run = StoredRun(stamp, nPages, lo, hi,
+        rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)), identical)
       // Double.toString, never the f-interpolator: String.format follows
       // the JVM default locale (comma decimals under de_DE etc.) and the
       // round trip through toDouble would silently drop every stored run
       val body = (s"pages=$nPages lo=$lo hi=$hi identical=$identical" +:
         run.rounds.map(r => s"${r._1} ${r._2} ${r._3}")).mkString("\n") + "\n"
       Files.writeString(runsDir.resolve(s"run_${run.stamp}.txt"), body)
-      build(loadAll(nPages, lo, hi))
+      build(loadAll(nPages, lo, hi).filterNot(_.stamp == run.stamp) :+ run)
     }
 
     /** All stored runs matching this config, oldest first. */
@@ -246,8 +254,11 @@ object ScalingBench {
                 val p = lines.get(i).split(' ')
                 (p(0).toDouble, p(1).toDouble, p(2).toDouble)
               }
-              out += StoredRun(name.stripPrefix("run_").stripSuffix(".txt").toLong,
-                nPages, lo, hi, rounds, hdr("identical").toBoolean)
+              // a header-only file (killed mid-write) must not poison
+              // every future build with an empty-rounds StoredRun
+              if (rounds.nonEmpty)
+                out += StoredRun(name.stripPrefix("run_").stripSuffix(".txt").toLong,
+                  nPages, lo, hi, rounds, hdr("identical").toBoolean)
             }
           } catch { case scala.util.control.NonFatal(_) => () } // stale format: skip
         }

@@ -141,9 +141,14 @@ object Similarity {
       .groupBy("vid")
       .agg(min(when(col("rk") === 1, col("cid"))).as("home"),
         array_sort(collect_list(struct(col("rk"), col("cid")))).as("rkc"))
+    // pad probes to exactly 3 with the same Long.MaxValue sentinels the
+    // fold paths emit, so the contract holds even when a vector saw
+    // fewer than 3 candidates (k < 3 codebooks, sparse probed cells)
+    val probes0 = transform(col("rkc"), x => x.getField("cid"))
     e.join(top, e("vec_id") === top("vid"))
       .select(col("vec_id"), col("embedding"), col("home"),
-        transform(col("rkc"), x => x.getField("cid")).as("probes"),
+        concat(probes0,
+          array_repeat(lit(Long.MaxValue), lit(3) - size(probes0))).as("probes"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .persist()
   }
@@ -652,10 +657,14 @@ object Similarity {
     },
     Some(s"""
       WITH en AS (SELECT vec_id, label,
-                         list_transform(embedding, x -> round(CAST(x AS DOUBLE) /
-                           sqrt(list_sum(list_transform(embedding,
-                             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)) AS ne
-                  FROM embeddings),
+                         -- norm hoisted out of the per-element lambda
+                         -- (same O(dim^2) trap the Spark side avoids)
+                         list_transform(embedding,
+                           x -> round(CAST(x AS DOUBLE) / nrm, 6)) AS ne
+                  FROM (SELECT vec_id, label, embedding,
+                               sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+                        FROM embeddings)),
       x0 AS (SELECT label, unnest(generate_series(1, len(ne))) AS pos, unnest(ne) AS v FROM en),
       cb0 AS (SELECT CAST(label AS BIGINT) AS cid, list(cv ORDER BY pos) AS ce FROM (
                 SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(9,6))) AS DOUBLE) / count(*) AS cv

@@ -63,6 +63,14 @@ object EventStreams {
     * unlucky band — the standard LSH false-positive trade, settled
     * downstream by the batch q22 Jaccard verifier). [[classifyClaims]] is
     * that batch-side classification over a claims sink.
+    *
+    * Lateness caveat: a document arriving with an event time behind the
+    * advanced watermark is DROPPED before the dedup state and thus claims
+    * nothing — indistinguishable in the claims sink from an exact
+    * duplicate. Pipelines that must not discard late uniques should
+    * route late arrivals (visible in the ingest stream but absent from
+    * claims at every band) to a batch reconciliation pass instead of
+    * trusting novel=false for them.
     */
   def bandClaimsStream(pages: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id", tsCol: String = "ts",
@@ -87,7 +95,11 @@ object EventStreams {
   def classifyClaims(claims: DataFrame, docs: DataFrame, idCol: String = "doc_id",
                      totalBands: Int = 4): DataFrame =
     docs.select(col(idCol)).distinct()
-      .join(claims.groupBy(idCol).agg(count(lit(1)).as("n")), Seq(idCol), "left")
+      // countDistinct, not count(*): an at-least-once sink replaying
+      // claim rows (or a doc re-claiming after its band state expired)
+      // must not inflate the count past totalBands and flip a genuinely
+      // novel doc to novel=false
+      .join(claims.groupBy(idCol).agg(countDistinct(col("band_idx")).as("n")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("bands_claimed"))
       .withColumn("novel", col("bands_claimed") === totalBands)
 
