@@ -298,10 +298,14 @@ object ScalingBench {
       val stability =
         if (runs.length < 2)
           Seq("- (one stored run so far — a second independent invocation adds the stability row)")
-        else Seq(
-          f"- independent-run agreement: best-of efficiencies ${effs.map(e => f"$e%.3f").mkString(", ")}",
-          f"  → relative spread $spreadPct%.1f%% (target ≤ ~15%%); medians of paired rounds:",
-          s"  ${runs.map(r => f"${median(r.perRound)}%.3f").mkString(", ")}")
+        else {
+          val gateAll = runs.forall(r => r.efficiency >= 0.8 || r.efficiency / r.ceiling >= 0.85)
+          Seq(
+            f"- independent-run agreement: best-of efficiencies ${effs.map(e => f"$e%.3f").mkString(", ")}",
+            f"  → relative spread $spreadPct%.1f%% (target ≤ ~15%%); medians of paired rounds:",
+            s"  ${runs.map(r => f"${median(r.perRound)}%.3f").mkString(", ")}",
+            s"- every stored run meets the gate (raw ≥ 0.8 OR normalized ≥ 0.85): **$gateAll**")
+        }
       val md = (Seq(
         "# BENCH — scaling evidence (north rule)",
         "",
