@@ -703,7 +703,64 @@ object Similarity {
                           FROM m$r GROUP BY cell) n ON p.cid = n.cid)"""
   }
 
+  /** The two-level quantizer under the oracle gate: route every vector
+    * through ⌈√k⌉ super-cells (top-3 probed), exact argmin only over the
+    * probed super-cells' centroids — DuckDB replays the identical
+    * routing, so even the APPROXIMATE path is bit-exact cross-engine
+    * (the approximation is deterministic, not fuzzy). Probes emitted as
+    * a CSV string: the comparison harness can't factorize array columns
+    * (the q36 lesson).
+    */
+  val q41TwoLevelAssign = QueryDef(
+    "q41_twolevel_assign",
+    (s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      assignedTwoLevel(e, k)
+        .select(col("vec_id"), col("home"),
+          concat_ws(",", transform(
+            filter(col("probes"), p => p =!= Long.MaxValue), p => p.cast("string"))).as("probes_csv"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+      kk AS (SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS k2 FROM nn),
+      c AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+            FROM embeddings, kk WHERE vec_id < k),
+      sc AS (SELECT cid AS scid, ce AS sce FROM c, kk WHERE cid < k2),
+      gd AS (SELECT c.cid, s.scid,
+               round(list_sum(list_transform(generate_series(1, len(c.ce)),
+                 i -> (c.ce[i] - s.sce[i]) * (c.ce[i] - s.sce[i]))), 6) AS d26
+             FROM c CROSS JOIN sc s),
+      grp AS (SELECT cid, scid FROM (
+                SELECT cid, scid, row_number() OVER (PARTITION BY cid ORDER BY d26, scid) AS rk
+                FROM gd) WHERE rk = 1),
+      vd AS (SELECT e.vec_id, s.scid,
+               round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - s.sce[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - s.sce[i]))), 6) AS d26
+             FROM embeddings e CROSS JOIN sc s),
+      rt AS (SELECT vec_id, scid FROM (
+               SELECT vec_id, scid, row_number() OVER (PARTITION BY vec_id ORDER BY d26, scid) AS rk
+               FROM vd) WHERE rk <= 3),
+      cd AS (SELECT rt.vec_id, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]))), 6) AS d26
+             FROM rt JOIN grp ON rt.scid = grp.scid
+                  JOIN c ON grp.cid = c.cid
+                  JOIN embeddings e ON rt.vec_id = e.vec_id),
+      top AS (SELECT vec_id, cid, rk FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d26, cid) AS rk
+                FROM cd) WHERE rk <= 3)
+      SELECT vec_id,
+             max(CASE WHEN rk = 1 THEN cid END) AS home,
+             array_to_string(list(CAST(cid AS VARCHAR) ORDER BY rk), ',') AS probes_csv
+      FROM top GROUP BY vec_id ORDER BY vec_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q23CosineTopk, q24Centroids, q25IvfAssign, q31EmbedNeardup, q32IvfSearch,
-    q39AnnRecall, q40TrainedRecall)
+    q39AnnRecall, q40TrainedRecall, q41TwoLevelAssign)
 }
