@@ -185,6 +185,54 @@ object Dedup {
   private[graft] def simhashMixedCol(text: Column): Column =
     simhashOver(text, f => pmod(f * lit(2654435761L), lit(4294967296L)))
 
+  /** The 4×4-bit LSH bands of a 16-bit simhash, as an array column —
+    * shared by the batch q42 twin and the streaming band filter. */
+  private[graft] def simhashBands(simhash: Column): Column =
+    array((0 until 4).map(i =>
+      pmod(floor(simhash.cast("double") / math.pow(16, i)).cast("long"), lit(16L))): _*)
+
+  /** Batch twin of the streaming near-dup band filter (q42): each doc's
+    * mixed simhash splits into 4 bands; the FIRST document (min doc_id —
+    * the batch stand-in for earliest event time) claims each
+    * (band_idx, band_val) key; a doc claiming all 4 of its bands is
+    * novel. Bit-exact oracle — the streaming path (EventStreams
+    * .bandClaimsStream + classifyClaims) computes the same verdicts with
+    * watermark-bounded state.
+    */
+  val q42BandClaims = QueryDef(
+    "q42_band_claims",
+    (s, dir) => {
+      val claims = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), simhashMixedCol(col("text")).as("simhash"))
+        .select(col("doc_id"), posexplode(simhashBands(col("simhash"))).as(Seq("band_idx", "band_val")))
+      val w = Window.partitionBy("band_idx", "band_val")
+      claims.withColumn("winner", min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(sum(when(col("doc_id") === col("winner"), 1L).otherwise(0L)).as("bands_claimed"))
+        .select(col("doc_id"), col("bands_claimed"), (col("bands_claimed") === 4).as("novel"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH wf AS (SELECT doc_id,
+                         ((length(u.w) * 31 + ascii(substring(u.w, 1, 1))) * 2654435761) % 4294967296 AS f
+                  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)),
+      b AS (SELECT doc_id, i, sum(CASE WHEN (f // (1 << i)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+            FROM wf, generate_series(0, 15) g(i) GROUP BY doc_id, i),
+      sh AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+             FROM b GROUP BY doc_id),
+      cl AS (SELECT doc_id, i AS band_idx, (simhash >> (4 * CAST(i AS INT))) & 15 AS band_val
+             FROM sh, generate_series(0, 3) g(i)),
+      won AS (SELECT doc_id, band_idx, band_val,
+                     min(doc_id) OVER (PARTITION BY band_idx, band_val) AS winner
+              FROM cl)
+      SELECT doc_id,
+             sum(CASE WHEN doc_id = winner THEN 1 ELSE 0 END) AS bands_claimed,
+             sum(CASE WHEN doc_id = winner THEN 1 ELSE 0 END) = 4 AS novel
+      FROM won GROUP BY doc_id ORDER BY doc_id
+    """.trim)
+  )
+
   /** The q21 operator over documents (plan notes on [[simhashCol]]); the
     * only Exchange in the plan is the final orderBy. */
   val q21Simhash = QueryDef(
@@ -369,5 +417,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     q18ExactDedup, q19MinhashSig, q20LshBuckets, q21Simhash, q22JaccardPairs,
-    q38DedupClusters)
+    q38DedupClusters, q42BandClaims)
 }

@@ -74,17 +74,15 @@ object EventStreams {
     */
   def bandClaimsStream(pages: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id", tsCol: String = "ts",
-                       horizon: String = "10 minutes"): DataFrame = {
-    val bandVals = array((0 until 4).map(i =>
-      pmod(floor(col("simhash").cast("double") / math.pow(16, i)).cast("long"), lit(16L))): _*)
+                       horizon: String = "10 minutes"): DataFrame =
     pages
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withColumn("simhash", graft.queries.Dedup.simhashMixedCol(col(textCol)))
       .select(col(idCol), col(tsCol),
-        posexplode(bandVals).as(Seq("band_idx", "band_val")))
+        posexplode(graft.queries.Dedup.simhashBands(col("simhash")))
+          .as(Seq("band_idx", "band_val")))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("band_idx", "band_val")
-  }
 
   /** Batch classification over a band-claims sink: a doc is novel iff it
     * claimed every one of its bands first. Takes the ingested-doc
