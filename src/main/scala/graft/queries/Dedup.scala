@@ -202,8 +202,12 @@ object Dedup {
   val q42BandClaims = QueryDef(
     "q42_band_claims",
     (s, dir) => {
-      val claims = s.read.parquet(s"$dir/documents.parquet")
+      // persist barrier: without it CollapseProject inlines the simhash
+      // fold into every band element (4× the vote arithmetic)
+      val sh = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), simhashMixedCol(col("text")).as("simhash"))
+        .persist()
+      val claims = sh
         .select(col("doc_id"), posexplode(simhashBands(col("simhash"))).as(Seq("band_idx", "band_val")))
       val w = Window.partitionBy("band_idx", "band_val")
       claims.withColumn("winner", min("doc_id").over(w))
