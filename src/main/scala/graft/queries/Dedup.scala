@@ -191,6 +191,34 @@ object Dedup {
     array((0 until 4).map(i =>
       pmod(floor(simhash.cast("double") / math.pow(16, i)).cast("long"), lit(16L))): _*)
 
+  /** Integer-exact Scala twin of [[simhashMixedCol]] for the streaming
+    * hot path, where no persist barrier can stop CollapseProject from
+    * re-evaluating the Column fold once per band element. All arithmetic
+    * is integral (votes, Knuth mix, bit tests), so equality with the
+    * Column version is structural — and EventStreamsSpec asserts the
+    * streamed verdicts equal the batch q42 oracle-backed ones on a
+    * shared corpus. */
+  private[graft] def simhashMixedScala(text: String): Long = {
+    val toks = text.trim.split("\\s+")
+    val votes = new Array[Int](16)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      val f = 31L * w.length + (if (w.isEmpty) 0 else w.codePointAt(0))
+      val m = (f * 2654435761L) % 4294967296L
+      var i = 0
+      while (i < 16) {
+        if (((m >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 16) { if (votes(i) > 0) sh |= (1L << i); i += 1 }
+    sh
+  }
+
   /** Batch twin of the streaming near-dup band filter (q42): each doc's
     * mixed simhash splits into 4 bands; the FIRST document (min doc_id —
     * the batch stand-in for earliest event time) claims each
@@ -218,7 +246,7 @@ object Dedup {
     },
     Some(s"""
       WITH wf AS (SELECT doc_id,
-                         ((length(u.w) * 31 + ascii(substring(u.w, 1, 1))) * 2654435761) % 4294967296 AS f
+                         (${fw("u.w")} * 2654435761) % 4294967296 AS f
                   FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)),
       b AS (SELECT doc_id, i, sum(CASE WHEN (f // (1 << i)) % 2 = 1 THEN 1 ELSE -1 END) AS s
             FROM wf, generate_series(0, 15) g(i) GROUP BY doc_id, i),

@@ -74,15 +74,24 @@ object EventStreams {
     */
   def bandClaimsStream(pages: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id", tsCol: String = "ts",
-                       horizon: String = "10 minutes"): DataFrame =
+                       horizon: String = "10 minutes"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // typed map, not Column HOFs: no persist barrier exists on a stream,
+    // so CollapseProject would re-evaluate the simhash vote fold once
+    // per band element (the q42 batch twin needed a barrier for this);
+    // the Scala twin computes it exactly once per document
     pages
-      .withColumn(tsCol, col(tsCol).cast("timestamp"))
-      .withColumn("simhash", graft.queries.Dedup.simhashMixedCol(col(textCol)))
-      .select(col(idCol), col(tsCol),
-        posexplode(graft.queries.Dedup.simhashBands(col("simhash")))
-          .as(Seq("band_idx", "band_val")))
+      .select(col(idCol).cast("long"), col(tsCol).cast("timestamp"), col(textCol))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions(_.flatMap { case (id, ts, text) =>
+        val sh = graft.queries.Dedup.simhashMixedScala(text)
+        (0 until 4).map(i => (id, ts, i, (sh >> (4 * i)) & 15L))
+      })
+      .toDF(idCol, tsCol, "band_idx", "band_val")
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("band_idx", "band_val")
+  }
 
   /** Batch classification over a band-claims sink: a doc is novel iff it
     * claimed every one of its bands first. Takes the ingested-doc

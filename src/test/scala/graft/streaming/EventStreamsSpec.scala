@@ -105,6 +105,49 @@ class EventStreamsSpec extends AnyFunSuite {
       (5L, 0L, false))) // exact dup: zero claims, still classified
   }
 
+  test("streaming band verdicts equal the batch q42 twin on a shared corpus") {
+    import spark.implicits._
+    // 20 real docs streamed one per trigger in doc_id order, so the
+    // stream's first-arrival winner is the batch twin's min-doc_id winner
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpusDir = java.nio.file.Files.createTempDirectory("twin_corpus")
+    docs.toSeq.toDF("doc_id", "text")
+      .write.parquet(corpusDir.toString + "/documents.parquet")
+    val flat = java.nio.file.Files.createTempDirectory("twin_stream")
+    docs.zipWithIndex.foreach { case ((id, text), i) =>
+      val f = java.nio.file.Files.createTempDirectory("twin_one")
+      Seq((id, text, (10L + i) * 60L))
+        .toDF("doc_id", "text", "sec")
+        .select(col("doc_id"), col("text"), col("sec").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(f.toString + "/p")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$f/p"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"part$i%03d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = EventStreams.bandClaimsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("twin_claims")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.awaitTermination(120000); q.stop()
+    val streamed = EventStreams.classifyClaims(
+      spark.table("twin_claims"), docs.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val batch = graft.queries.Dedup.q42BandClaims.fn(spark, corpusDir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"streaming and batch twins diverged:\nstream=$streamed\nbatch =$batch")
+    assert(batch.exists(!_._3), "fixture should contain at least one band collision")
+  }
+
   test("streaming exact dedup: first content-hash arrival wins across batches") {
     import spark.implicits._
     // two parquet files → two triggers; duplicates appear both inside a
