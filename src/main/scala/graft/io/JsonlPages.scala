@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL shard source/sink with a byte-offset seek index — the
+  * reference's native record format (per-doc JSONL shards +
+  * `gen_seek.py`'s offset map for O(1) random access into a shard,
+  * SURVEY S5/K3). Parquet remains the primary format; this is the
+  * interchange path a reference user would migrate FROM, so the
+  * round-trip must be lossless (binary columns ride base64) and the
+  * seek contract real: (file, offset, length) → exactly one record.
+  *
+  * Scale shape: writing is a map-only `to_json` projection; the seek
+  * index is one pass per shard (a task per file via binaryFile — shards
+  * are bounded by maxRecordsPerShard, so a whole shard in task memory is
+  * the same contract the reference's seek generator relies on).
+  */
+object JsonlPages {
+
+  /** Write any DataFrame as JSONL shards; BINARY columns are base64'd
+    * under the same name so the round-trip schema is by-name. */
+  def write(df: DataFrame, dir: String, shards: Int = 8): Unit = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case BinaryType => base64(col(f.name)).as(f.name)
+        case _          => col(f.name)
+      }
+    }
+    df.select(to_json(struct(cols.toIndexedSeq: _*)).as("value"))
+      .repartition(shards)
+      .write.mode("overwrite").text(dir)
+  }
+
+  /** Read JSONL shards back to the given schema; BINARY fields decode
+    * from base64. Malformed lines fail loudly (ANSI discipline — a
+    * corrupt shard must not silently drop records). */
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val jsonSchema = StructType(schema.fields.map { f =>
+      if (f.dataType == BinaryType) f.copy(dataType = StringType) else f
+    })
+    val parsed = spark.read.text(dir)
+      .select(from_json(col("value"), jsonSchema, Map("mode" -> "FAILFAST")).as("r"))
+    val cols = schema.fields.map { f =>
+      f.dataType match {
+        case BinaryType => unbase64(col(s"r.${f.name}")).as(f.name)
+        case _          => col(s"r.${f.name}").as(f.name)
+      }
+    }
+    parsed.select(cols.toIndexedSeq: _*)
+  }
+
+  /** The gen_seek analog: per record, (shard path, line index, byte
+    * offset, byte length) plus a caller-chosen key extracted from the
+    * JSON line — distributed, one task per shard. Offsets address the
+    * raw shard bytes, so [[fetch]] can jump straight to any record.
+    */
+  def seekIndex(spark: SparkSession, dir: String, keyField: String): DataFrame = {
+    import spark.implicits._
+    val keyPat = ("\"" + java.util.regex.Pattern.quote(keyField) + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+)").r
+    spark.read.format("binaryFile")
+      .load(dir + "/*.txt")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
+        var start = 0
+        var line = 0L
+        var i = 0
+        while (i <= bytes.length) {
+          if (i == bytes.length || bytes(i) == '\n'.toByte) {
+            if (i > start) {
+              val s = new String(bytes, start, i - start, java.nio.charset.StandardCharsets.UTF_8)
+              val key = keyPat.findFirstMatchIn(s).map(_.group(1).stripPrefix("\"").stripSuffix("\"")).getOrElse("")
+              out += ((path, line, start.toLong, (i - start).toLong, key))
+              line += 1
+            }
+            start = i + 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("path", "line_idx", "byte_offset", "byte_len", keyField)
+  }
+
+  /** Random-access one record by (path, offset, length) — the consumer
+    * side of the seek contract. */
+  def fetch(path: String, offset: Long, length: Long): String = {
+    val p = if (path.startsWith("file:")) new java.net.URI(path).getPath else path
+    val raf = new java.io.RandomAccessFile(p, "r")
+    try {
+      raf.seek(offset)
+      val buf = new Array[Byte](length.toInt)
+      raf.readFully(buf)
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    } finally raf.close()
+  }
+}
