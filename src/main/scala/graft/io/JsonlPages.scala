@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * seek contract real: (file, offset, length) → exactly one record.
   *
   * Scale shape: writing is a map-only `to_json` projection; the seek
-  * index is one pass per shard (a task per file via binaryFile — shards
-  * are bounded by maxRecordsPerShard, so a whole shard in task memory is
-  * the same contract the reference's seek generator relies on).
+  * index is one pass per shard (a task per file via binaryFile — the
+  * writer bounds shard size via the shard count, so a whole shard in
+  * task memory is the same contract the reference's seek generator
+  * relies on; at scale, raise `shards` so each stays executor-sized).
   */
 object JsonlPages {
 

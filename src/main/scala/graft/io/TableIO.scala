@@ -112,6 +112,39 @@ object TableIO {
     if (has) Some(spark.read.parquet(metricsPath(root))) else None
   }
 
+  /** Real Spark bucketing — distinct from the `bucket=<b>` directory
+    * layout above (which only prunes files): a catalog-registered table
+    * written with bucketBy on the join key, so every downstream
+    * equi-join / groupBy / dedup on that key plans WITHOUT an Exchange
+    * (both sides' outputPartitioning already satisfies the join's
+    * required distribution). At corpus scale this amortizes the join
+    * shuffle into the one-time write — the right trade for a table
+    * joined more than once (resume anti-joins, page assembly, dedup).
+    * Both sides of a join must use the same bucket count.
+    */
+  def writeBucketed(df: DataFrame, fqTable: String, buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $fqTable")
+    // in-memory catalog: a managed location can outlive the JVM that
+    // registered it (the catalog entry dies, the directory doesn't) and
+    // CTAS then refuses with LOCATION_ALREADY_EXISTS — clear the orphan
+    fqTable.split('.') match {
+      case Array(db, tbl) if spark.catalog.databaseExists(db) =>
+        val uri = new java.net.URI(spark.catalog.getDatabase(db).locationUri)
+        val base = if (uri.getScheme == null) uri.toString else uri.getPath
+        deleteRecursively(Paths.get(base).resolve(tbl))
+      case _ => ()
+    }
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(fqTable)
+  }
+
+  /** Create-if-absent a database rooted OUTSIDE the repo for managed
+    * bucketed tables (the in-memory catalog's default warehouse is
+    * ./spark-warehouse under the working dir). */
+  def ensureBucketDb(spark: SparkSession, db: String, location: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)

@@ -16,7 +16,10 @@ object IoQueries {
     "q43_jsonl_roundtrip",
     (s, dir) => {
       val src = s.read.parquet(s"$dir/documents.parquet")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      // fixed per-input path (not createTempDirectory): repeated Verify/
+      // Bench invocations overwrite instead of leaking a dir per run
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jsonl_rt", java.lang.Integer.toHexString(dir.hashCode)).toString
       graft.io.JsonlPages.write(src, tmp)
       graft.io.JsonlPages.read(s, tmp, src.schema)
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -29,5 +32,39 @@ object IoQueries {
     """.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(q43JsonlRoundtrip)
+  /** Bucketed-table join (S1 at 100 TB): both sides written once with
+    * bucketBy on their join key into the session catalog, then joined —
+    * Catalyst plans the join with NO Exchange (see BucketedJoinSpec for
+    * the plan assertion; at local test scale the optimizer may still
+    * pick a broadcast join, which is also shuffle-free). The oracle
+    * joins the raw parquet directly, so the bucketed path must be
+    * lossless as well as shuffle-free.
+    */
+  val q47BucketedJoin = QueryDef(
+    "q47_bucketed_join",
+    (s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      graft.io.TableIO.ensureBucketDb(s, "graft_bkt",
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bkt_db").toString)
+      val docsT = s"graft_bkt.docs_b_$tag"
+      val embsT = s"graft_bkt.embs_b_$tag"
+      graft.io.TableIO.writeBucketed(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang", "n_chars"),
+        docsT, 8, "doc_id")
+      graft.io.TableIO.writeBucketed(
+        s.read.parquet(s"$dir/embeddings.parquet"), embsT, 8, "vec_id")
+      s.table(docsT)
+        .join(s.table(embsT), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("embedding")).as("dim"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT d.doc_id, d.lang, d.n_chars, CAST(len(e.embedding) AS INT) AS dim
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      ORDER BY d.doc_id
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q43JsonlRoundtrip, q47BucketedJoin)
 }

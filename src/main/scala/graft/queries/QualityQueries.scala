@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators from the public training-data-pipeline
+  * literature (C4, Raffel et al. 2020; Gopher, Rae et al. 2021 —
+  * rule-based document filtering and repetition statistics), expressed
+  * over the `documents` table with bit-exact DuckDB oracles.
+  *
+  * Scale shapes: q44 is one pass of codegen-friendly column expressions
+  * (no shuffle); q45 is a typed map (n-gram construction per row — kept
+  * OUT of higher-order-function lambdas because `element_at(arr, i)`
+  * inside a `transform` re-evaluates the outer array per element once
+  * CollapseProject inlines it, the O(n²) trap in CLAUDE.md); q46 is a
+  * typed flatMap feeding a partial→final hash aggregate with a
+  * TakeOrderedAndProject top-k — no global sort, one shuffle.
+  */
+object QualityQueries {
+
+  private val stopEn = Seq("the", "a", "of", "and")
+
+  /** Gopher-style rule filter: per-document quality flags and the final
+    * keep decision — mean word length in [3,10], alphabetic-token
+    * fraction > 0.8, at least one English stopword, at least 10 tokens.
+    */
+  val q44GopherRules = QueryDef(
+    "q44_gopher_rules",
+    (s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val nTok = size(t)
+      val nAlpha = size(filter(t, w => w.rlike("\\p{L}")))
+      val nStop = size(filter(t, w => w.isin(stopEn: _*)))
+      val maxW = array_max(transform(t, w => length(w)))
+      val meanW = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
+      val keep = (meanW >= 3.0) && (meanW <= 10.0) &&
+        (nAlpha.cast("double") / nTok > 0.8) && (nStop >= 1) && (nTok >= 10)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          nAlpha.as("n_alpha"),
+          nStop.as("n_stop"),
+          maxW.as("max_wlen"),
+          round(meanW, 6).as("mean_wlen"),
+          round(nAlpha.cast("double") / nTok, 6).as("frac_alpha"),
+          keep.cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS chars_ns
+        FROM documents),
+      v AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_filter(toks, w -> regexp_matches(w, '\p{L}'))) AS INT) AS n_alpha,
+               CAST(len(list_filter(toks, w -> w IN ('the','a','of','and'))) AS INT) AS n_stop,
+               CAST(list_max(list_transform(toks, w -> length(w))) AS INT) AS max_wlen,
+               chars_ns
+        FROM t)
+      SELECT doc_id, n_tokens, n_alpha, n_stop, max_wlen,
+             round(chars_ns / n_tokens, 6) AS mean_wlen,
+             round(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS frac_alpha,
+             CAST((chars_ns / n_tokens >= 3.0) AND (chars_ns / n_tokens <= 10.0)
+                  AND (CAST(n_alpha AS DOUBLE) / n_tokens > 0.8)
+                  AND n_stop >= 1 AND n_tokens >= 10 AS INT) AS keep
+      FROM v ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Repeated-trigram fraction (Gopher's duplicated-n-gram repetition
+    * signal): 1 − distinct/total over word 3-grams, per document.
+    */
+  val q45NgramRepetition = QueryDef(
+    "q45_ngram_repetition",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, tx) =>
+          val toks = tx.trim.split("\\s+")
+          val grams =
+            if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toArray
+            else Array.empty[String]
+          (id, grams.length, grams.distinct.length)
+        })
+        .toDF("doc_id", "n_grams", "n_distinct")
+        .select(
+          col("doc_id"), col("n_grams"), col("n_distinct"),
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+            .as("rep_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS grams
+        FROM t)
+      SELECT doc_id,
+             CAST(len(grams) AS INT) AS n_grams,
+             CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+             CASE WHEN len(grams) = 0 THEN 0.0
+                  ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+             END AS rep_frac
+      FROM g ORDER BY doc_id
+    """.trim)
+  )
+
+  /** Corpus-level top-k bigram vocabulary (tokenizer/vocab statistics):
+    * count every word bigram across the corpus, deterministic total
+    * order (count desc, gram asc), top 20.
+    */
+  val q46TopBigrams = QueryDef(
+    "q46_top_bigrams",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text")).as[String]
+        .mapPartitions(_.flatMap { tx =>
+          val toks = tx.trim.split("\\s+")
+          if (toks.length < 2) Iterator.empty
+          else toks.sliding(2).map(_.mkString(" "))
+        })
+        .toDF("gram")
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+        FROM t)
+      SELECT gram, count(*) AS cnt FROM g
+      GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q44GopherRules, q45NgramRepetition, q46TopBigrams)
+}
