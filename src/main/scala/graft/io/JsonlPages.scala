@@ -20,6 +20,13 @@ import org.apache.spark.sql.types._
   */
 object JsonlPages {
 
+  /** Microsecond-precise timestamp format on BOTH sides — the default
+    * to_json format truncates to milliseconds, which would silently
+    * corrupt sub-ms timestamps through a "lossless" interchange path. */
+  private val jsonOpts = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "dateFormat" -> "yyyy-MM-dd")
+
   /** Write any DataFrame as JSONL shards; BINARY columns are base64'd
     * under the same name so the round-trip schema is by-name. */
   def write(df: DataFrame, dir: String, shards: Int = 8): Unit = {
@@ -29,7 +36,7 @@ object JsonlPages {
         case _          => col(f.name)
       }
     }
-    df.select(to_json(struct(cols.toIndexedSeq: _*)).as("value"))
+    df.select(to_json(struct(cols.toIndexedSeq: _*), jsonOpts).as("value"))
       .repartition(shards)
       .write.mode("overwrite").text(dir)
   }
@@ -42,7 +49,7 @@ object JsonlPages {
       if (f.dataType == BinaryType) f.copy(dataType = StringType) else f
     })
     val parsed = spark.read.text(dir)
-      .select(from_json(col("value"), jsonSchema, Map("mode" -> "FAILFAST")).as("r"))
+      .select(from_json(col("value"), jsonSchema, jsonOpts + ("mode" -> "FAILFAST")).as("r"))
     val cols = schema.fields.map { f =>
       f.dataType match {
         case BinaryType => unbase64(col(s"r.${f.name}")).as(f.name)
@@ -59,7 +66,11 @@ object JsonlPages {
     */
   def seekIndex(spark: SparkSession, dir: String, keyField: String): DataFrame = {
     import spark.implicits._
-    val keyPat = ("\"" + java.util.regex.Pattern.quote(keyField) + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+)").r
+    // key value may be a JSON string, number, or boolean; a missing or
+    // non-scalar key fails LOUDLY (ANSI discipline) — a silent '' key
+    // would collapse the one-record-per-(offset,len) contract
+    val keyPat = ("\"" + java.util.regex.Pattern.quote(keyField) +
+      "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?|true|false)").r
     spark.read.format("binaryFile")
       .load(dir + "/*.txt")
       .select(col("path"), col("content"))
@@ -73,7 +84,14 @@ object JsonlPages {
           if (i == bytes.length || bytes(i) == '\n'.toByte) {
             if (i > start) {
               val s = new String(bytes, start, i - start, java.nio.charset.StandardCharsets.UTF_8)
-              val key = keyPat.findFirstMatchIn(s).map(_.group(1).stripPrefix("\"").stripSuffix("\"")).getOrElse("")
+              val key = keyPat.findFirstMatchIn(s) match {
+                case Some(m) =>
+                  val raw = m.group(1)
+                  if (raw.startsWith("\"")) unescapeJson(raw.substring(1, raw.length - 1))
+                  else raw
+                case None => throw new IllegalArgumentException(
+                  s"seekIndex: key field '$keyField' absent or not a scalar at $path line $line")
+              }
               out += ((path, line, start.toLong, (i - start).toLong, key))
               line += 1
             }
@@ -84,6 +102,30 @@ object JsonlPages {
         out
       }
       .toDF("path", "line_idx", "byte_offset", "byte_len", keyField)
+  }
+
+  /** Minimal JSON string unescape for extracted key values (records are
+    * single lines, so \n etc. can only appear escaped). */
+  private def unescapeJson(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case other => sb.append(other); i += 2 // covers \" \\ \/
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Random-access one record by (path, offset, length) — the consumer

@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
   * rule-based document filtering and repetition statistics), expressed
   * over the `documents` table with bit-exact DuckDB oracles.
   *
-  * Scale shapes: q44 is one pass of codegen-friendly column expressions
-  * (no shuffle); q45 is a typed map (n-gram construction per row — kept
-  * OUT of higher-order-function lambdas because `element_at(arr, i)`
-  * inside a `transform` re-evaluates the outer array per element once
-  * CollapseProject inlines it, the O(n²) trap in CLAUDE.md); q46 is a
-  * typed flatMap feeding a partial→final hash aggregate with a
+  * Scale shapes: all three tokenize in ONE typed pass per row via
+  * `TextOps.tokensScala` (the SQL tokenizer's Scala twin) — per
+  * CLAUDE.md, higher-order-function lambdas are interpreted with no
+  * CSE, so a columnar version would re-run the regex split per
+  * consumer. q44 is map-only (no shuffle); q45 is map-only per doc;
+  * q46 feeds a partial→final hash aggregate with a
   * TakeOrderedAndProject top-k — no global sort, one shuffle.
   */
 object QualityQueries {
 
-  private val stopEn = Seq("the", "a", "of", "and")
+  private val pWsChar = java.util.regex.Pattern.compile("\\s")
+  private val pLetter = java.util.regex.Pattern.compile("\\p{L}")
+
+  /** Codepoint count — Spark's and DuckDB's `length`, not UTF-16 units. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
   /** Gopher-style rule filter: per-document quality flags and the final
     * keep decision — mean word length in [3,10], alphabetic-token
@@ -26,24 +30,34 @@ object QualityQueries {
   val q44GopherRules = QueryDef(
     "q44_gopher_rules",
     (s, dir) => {
-      val t = TextOps.tokens(col("text"))
-      val nTok = size(t)
-      val nAlpha = size(filter(t, w => w.rlike("\\p{L}")))
-      val nStop = size(filter(t, w => w.isin(stopEn: _*)))
-      val maxW = array_max(transform(t, w => length(w)))
-      val meanW = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
-      val keep = (meanW >= 3.0) && (meanW <= 10.0) &&
-        (nAlpha.cast("double") / nTok > 0.8) && (nStop >= 1) && (nTok >= 10)
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(
-          col("doc_id"),
-          nTok.as("n_tokens"),
-          nAlpha.as("n_alpha"),
-          nStop.as("n_stop"),
-          maxW.as("max_wlen"),
+      import s.implicits._
+      val stop = TextOps.stopEn.toSet
+      val counted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, tx) =>
+          val toks = TextOps.tokensScala(tx)
+          var nAlpha = 0; var nStop = 0; var maxW = 0
+          var i = 0
+          while (i < toks.length) {
+            val w = toks(i)
+            if (pLetter.matcher(w).find()) nAlpha += 1
+            if (stop.contains(w)) nStop += 1
+            val wl = cpLen(w)
+            if (wl > maxW) maxW = wl
+            i += 1
+          }
+          (id, toks.length, nAlpha, nStop, maxW,
+            cpLen(pWsChar.matcher(tx).replaceAll("")))
+        })
+        .toDF("doc_id", "n_tokens", "n_alpha", "n_stop", "max_wlen", "chars_ns")
+      val meanW = col("chars_ns").cast("double") / col("n_tokens")
+      val fracA = col("n_alpha").cast("double") / col("n_tokens")
+      counted.select(
+          col("doc_id"), col("n_tokens"), col("n_alpha"), col("n_stop"), col("max_wlen"),
           round(meanW, 6).as("mean_wlen"),
-          round(nAlpha.cast("double") / nTok, 6).as("frac_alpha"),
-          keep.cast("int").as("keep"))
+          round(fracA, 6).as("frac_alpha"),
+          ((meanW >= 3.0) && (meanW <= 10.0) && (fracA > 0.8) &&
+            (col("n_stop") >= 1) && (col("n_tokens") >= 10)).cast("int").as("keep"))
         .orderBy("doc_id")
     },
     Some("""
@@ -79,7 +93,7 @@ object QualityQueries {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, tx) =>
-          val toks = tx.trim.split("\\s+")
+          val toks = TextOps.tokensScala(tx)
           val grams =
             if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toArray
             else Array.empty[String]
@@ -122,7 +136,7 @@ object QualityQueries {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("text")).as[String]
         .mapPartitions(_.flatMap { tx =>
-          val toks = tx.trim.split("\\s+")
+          val toks = TextOps.tokensScala(tx)
           if (toks.length < 2) Iterator.empty
           else toks.sliding(2).map(_.mkString(" "))
         })

@@ -14,6 +14,23 @@ object TextOps {
   /** Whitespace tokens of trimmed text (no empties by construction). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  private val pWsRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** Scala twin of the SQL tokenizer `split(trim(text), '\s+')` every
+    * oracle uses — for typed-map queries that must stay bit-exact with
+    * DuckDB: strips SPACES only (SQL trim semantics; Java's
+    * String.trim also eats \t\n\r) and keeps leading/trailing empty
+    * tokens exactly as Spark's split (limit -1) and DuckDB's
+    * regexp_split_to_array do.
+    */
+  private[queries] def tokensScala(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    pWsRun.split(s.substring(b, e), -1)
+  }
+
   /** Deterministic per-word feature: 31*len + code of first char —
     * shared by fingerprint / minhash / simhash so the oracle can
     * replicate it arithmetically (no engine-specific hash functions).
@@ -48,7 +65,7 @@ object TextOps {
     """.trim)
   )
 
-  private val stopEn = Seq("the", "a", "of", "and")
+  private[queries] val stopEn = Seq("the", "a", "of", "and")
 
   val q14QualityScore = QueryDef(
     "q14_quality_score",

@@ -52,9 +52,15 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     import spark.implicits._
+    // self-contained: create the db and both sides here, so this test
+    // holds in isolation and after a first-test failure
+    TableIO.ensureBucketDb(spark, "graft_bkt",
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bkt_db").toString)
+    TableIO.writeBucketed(
+      (0L until 1000L).map(i => (i, s"a$i")).toDF("k", "va"), "graft_bkt.spec_a2", 4, "k")
     TableIO.writeBucketed(
       (0L until 100L).map(i => (i, i)).toDF("k2", "vb"), "graft_bkt.spec_c", 3, "k2")
-    val j = spark.table("graft_bkt.spec_a")
+    val j = spark.table("graft_bkt.spec_a2")
       .join(spark.table("graft_bkt.spec_c"), col("k") === col("k2"))
     assert(j.count() == 100)
   }

@@ -12,19 +12,23 @@ class JsonlPagesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   test("pages round-trip losslessly through JSONL shards, html binary included") {
-    val pages = graft.gen.SyntheticCorpus.generate(spark, 200)
+    // perturb timestamps to sub-millisecond precision: the round-trip
+    // must carry microseconds, not silently truncate to millis
+    val pages = graft.gen.SyntheticCorpus.generate(spark, 200).toDF()
+      .withColumn("warc_ts", expr("timestampadd(MICROSECOND, 123456, warc_ts)"))
     val dir = java.nio.file.Files.createTempDirectory("jsonl_pages").toString
-    JsonlPages.write(pages.toDF(), dir, shards = 4)
+    JsonlPages.write(pages, dir, shards = 4)
     val back = JsonlPages.read(spark, dir, pages.schema)
-    // compare as (url → md5(html), text, lang, ts) maps
+    // compare as (url → md5(html), text, lang, full-precision ts) maps
     def snap(df: org.apache.spark.sql.DataFrame) =
       df.select(col("url"), md5(col("html")).as("h"), col("text"), col("lang"),
-          col("warc_ts").cast("long").as("tsl"))
+          col("warc_ts").cast("string").as("ts"))
         .collect().map(r => r.getString(0) ->
-          (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
-    val a = snap(pages.toDF())
+          (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    val a = snap(pages)
     val b = snap(back)
     assert(b.size == 200 && a == b, "JSONL round-trip must be lossless")
+    assert(a.values.forall(_._4.endsWith(".123456")), "fixture must carry microseconds")
   }
 
   test("seek index: every (path, offset, len) fetches exactly its record") {

@@ -17,7 +17,11 @@ class QualityQueriesSpec extends AnyFunSuite {
       (1L, "the cat sat of the mat and ran far away now"),
       (2L, "zz zz zz zz"),
       (3L, "a b a b a b a b a b a b"),
-      (4L, "solo")
+      (4L, "solo"),
+      // edge whitespace pins the SQL tokenizer twin: trim strips SPACES
+      // only, and split keeps leading/trailing empty tokens
+      (5L, "one two three four\n"),
+      (6L, "\tx y z")
     ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
@@ -34,6 +38,11 @@ class QualityQueriesSpec extends AnyFunSuite {
     assert(rows(3L)._5 == 1.0 && rows(3L)._3 == 6 && rows(3L)._7 == 0)
     // doc 4: single token → reject
     assert(rows(4L)._7 == 0)
+    // doc 5 ends in \n: SQL trim keeps it, split keeps the trailing
+    // empty token → 5 tokens, 4 alphabetic, frac 0.8 (not > 0.8)
+    assert(rows(5L) == ((5, 4, 0, 5, 3.0, 0.8, 0)))
+    // doc 6 starts with \t: leading empty token kept → 4 tokens
+    assert(rows(6L) == ((4, 3, 0, 1, 0.75, 0.75, 0)))
   }
 
   test("q45: repeated-trigram fraction matches hand computation") {
@@ -47,6 +56,10 @@ class QualityQueriesSpec extends AnyFunSuite {
     assert(rows(3L) == ((10, 2, 0.8)))
     // doc 4: fewer than 3 tokens → zero grams, fraction defined as 0
     assert(rows(4L) == ((0, 0, 0.0)))
+    // doc 5: trailing empty token participates in the last trigram
+    assert(rows(5L) == ((3, 3, 0.0)))
+    // doc 6: leading empty token participates in the first trigram
+    assert(rows(6L) == ((2, 2, 0.0)))
   }
 
   test("q46: corpus bigram counts and deterministic ordering") {
