@@ -274,6 +274,9 @@ object ScalingBench {
       // historical agreement is reported as its own line instead
       val allIdentical = runs.forall(_.identical)
       val latestIdentical = latest.identical
+      // ONE gate definition for both the markdown and the JSON line
+      def gate(r: StoredRun): Boolean = r.efficiency >= 0.8 || r.efficiency / r.ceiling >= 0.85
+      val gatePassed = runs.count(gate)
       val effs = runs.map(_.efficiency)
       val spreadPct =
         if (runs.length < 2) 0.0 else (effs.max - effs.min) / effs.max * 100.0
@@ -299,7 +302,6 @@ object ScalingBench {
         if (runs.length < 2)
           Seq("- (one stored run so far — a second independent invocation adds the stability row)")
         else {
-          val gatePassed = runs.count(r => r.efficiency >= 0.8 || r.efficiency / r.ceiling >= 0.85)
           Seq(
             f"- independent-run agreement: best-of efficiencies ${effs.map(e => f"$e%.3f").mkString(", ")}",
             f"  → relative spread $spreadPct%.1f%% (target ≤ ~15%%); medians of paired rounds:",
@@ -346,7 +348,7 @@ object ScalingBench {
         s"Generated by `graft.bench.ScalingBench $nPages $lo $hi ${latest.rounds.length}`.",
         "")).mkString("\n")
       val json =
-        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"best_paired_efficiency":${latest.perRound.max}%.3f,"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"gate_runs_passed":${runs.count(r => r.efficiency >= 0.8 || r.efficiency / r.ceiling >= 0.85)},"spread_pct":$spreadPct%.1f}"""
+        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"best_paired_efficiency":${latest.perRound.max}%.3f,"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"gate_runs_passed":$gatePassed,"spread_pct":$spreadPct%.1f}"""
       Out(md, json, latestIdentical, latest.efficiency, latest.ceiling)
     }
 

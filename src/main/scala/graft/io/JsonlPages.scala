@@ -66,11 +66,6 @@ object JsonlPages {
     */
   def seekIndex(spark: SparkSession, dir: String, keyField: String): DataFrame = {
     import spark.implicits._
-    // key value may be a JSON string, number, or boolean; a missing or
-    // non-scalar key fails LOUDLY (ANSI discipline) — a silent '' key
-    // would collapse the one-record-per-(offset,len) contract
-    val keyPat = ("\"" + java.util.regex.Pattern.quote(keyField) +
-      "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?|true|false)").r
     spark.read.format("binaryFile")
       .load(dir + "/*.txt")
       .select(col("path"), col("content"))
@@ -84,14 +79,11 @@ object JsonlPages {
           if (i == bytes.length || bytes(i) == '\n'.toByte) {
             if (i > start) {
               val s = new String(bytes, start, i - start, java.nio.charset.StandardCharsets.UTF_8)
-              val key = keyPat.findFirstMatchIn(s) match {
-                case Some(m) =>
-                  val raw = m.group(1)
-                  if (raw.startsWith("\"")) unescapeJson(raw.substring(1, raw.length - 1))
-                  else raw
-                case None => throw new IllegalArgumentException(
-                  s"seekIndex: key field '$keyField' absent or not a scalar at $path line $line")
-              }
+              // a missing or non-scalar key fails LOUDLY (ANSI
+              // discipline) — a silent '' key would collapse the
+              // one-record-per-(offset,len) contract
+              val key = topLevelScalar(s, keyField).getOrElse(throw new IllegalArgumentException(
+                s"seekIndex: key field '$keyField' absent or not a scalar at $path line $line"))
               out += ((path, line, start.toLong, (i - start).toLong, key))
               line += 1
             }
@@ -102,6 +94,59 @@ object JsonlPages {
         out
       }
       .toDF("path", "line_idx", "byte_offset", "byte_len", keyField)
+  }
+
+  /** Index after the closing quote of the JSON string opening at `start`. */
+  private def stringEnd(s: String, start: Int): Int = {
+    var i = start + 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == '"') return i + 1
+      else i += 1
+    }
+    s.length
+  }
+
+  /** Scalar value of TOP-LEVEL field `keyField` in a one-line JSON
+    * object — depth-tracked, so a same-named field inside a nested
+    * object or array never matches (a plain regex would). Strings come
+    * back unescaped; numbers/booleans literally; absent, null, or
+    * non-scalar → None.
+    */
+  private[io] def topLevelScalar(line: String, keyField: String): Option[String] = {
+    val n = line.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      line.charAt(i) match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' =>
+          val end = stringEnd(line, i)
+          var j = end
+          while (j < n && line.charAt(j).isWhitespace) j += 1
+          if (depth == 1 && j < n && line.charAt(j) == ':') {
+            val isMatch = unescapeJson(line.substring(i + 1, end - 1)) == keyField
+            j += 1
+            while (j < n && line.charAt(j).isWhitespace) j += 1
+            if (isMatch) {
+              if (j >= n) return None
+              return line.charAt(j) match {
+                case '"' => Some(unescapeJson(line.substring(j + 1, stringEnd(line, j) - 1)))
+                case '{' | '[' => None
+                case _ =>
+                  var k = j
+                  while (k < n && ",}] \t".indexOf(line.charAt(k).toInt) < 0) k += 1
+                  val tok = line.substring(j, k)
+                  if (tok == "null") None else Some(tok)
+              }
+            } else i = j // continue from the value; the loop handles its kind
+          } else i = end
+        case _ => i += 1
+      }
+    }
+    None
   }
 
   /** Minimal JSON string unescape for extracted key values (records are

@@ -17,7 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object QualityQueries {
 
-  private val pWsChar = java.util.regex.Pattern.compile("\\s")
   private val pLetter = java.util.regex.Pattern.compile("\\p{L}")
 
   /** Codepoint count — Spark's and DuckDB's `length`, not UTF-16 units. */
@@ -35,19 +34,22 @@ object QualityQueries {
       val counted = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, tx) =>
-          val toks = TextOps.tokensScala(tx)
-          var nAlpha = 0; var nStop = 0; var maxW = 0
-          var i = 0
-          while (i < toks.length) {
-            val w = toks(i)
-            if (pLetter.matcher(w).find()) nAlpha += 1
-            if (stop.contains(w)) nStop += 1
-            val wl = cpLen(w)
-            if (wl > maxW) maxW = wl
-            i += 1
+          if (tx == null) (id, None, None, None, None, None)
+          else {
+            val toks = TextOps.tokensScala(tx)
+            var nAlpha = 0; var nStop = 0; var maxW = 0; var chars = 0
+            var i = 0
+            while (i < toks.length) {
+              val w = toks(i)
+              if (pLetter.matcher(w).find()) nAlpha += 1
+              if (stop.contains(w)) nStop += 1
+              val wl = cpLen(w)
+              if (wl > maxW) maxW = wl
+              chars += wl // chars_ns: every non-ws char is in exactly one token
+              i += 1
+            }
+            (id, Some(toks.length), Some(nAlpha), Some(nStop), Some(maxW), Some(chars))
           }
-          (id, toks.length, nAlpha, nStop, maxW,
-            cpLen(pWsChar.matcher(tx).replaceAll("")))
         })
         .toDF("doc_id", "n_tokens", "n_alpha", "n_stop", "max_wlen", "chars_ns")
       val meanW = col("chars_ns").cast("double") / col("n_tokens")

@@ -11,17 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Exact distinct-count per key with NO stage ever concentrating a
-    * whole hot key on one reducer: salt by a hash of the VALUE — not a
-    * random salt — so each key's distinct-value space is sliced into
-    * disjoint buckets and the per-bucket distinct counts ADD exactly.
-    * Spark's own count_distinct expansion already spreads the DEDUP
-    * stage by value; what it cannot fix is the counting stage, where a
-    * key with 10^9 distinct values still lands 10^9 deduped rows on one
-    * reducer — the salt caps that stage at bucket granularity
-    * ((k,salt,v) → (k,salt) → (k), each step bounded). The salt hash
-    * never affects the result (any value partitioning sums the same),
-    * so an engine-specific hash is fine here.
+  /** Exact distinct-count per key via explicit value-hash salting: the
+    * salt is a hash of the VALUE — not a random salt — so each key's
+    * distinct-value space is sliced into disjoint buckets and the
+    * per-bucket distinct counts ADD exactly ((k,salt,v) → (k,salt) →
+    * (k), every stage's hot-key load bounded). Honest scoping: Spark's
+    * own count_distinct expansion already achieves a bounded-stage
+    * shape internally (dedup shuffles on (k,v), partial counts compress
+    * before the final exchange), so for plain count_distinct this
+    * explicit ladder is a portability template, not a speedup — its
+    * value is for aggregations the engine does NOT expand (custom
+    * UDAFs, combined holistic aggregates), where the same value-hash
+    * slicing is the only way to bound per-stage hot-key state. The salt
+    * hash never affects the result (any value partitioning sums the
+    * same), so an engine-specific hash is fine here.
     */
   def saltedDistinct(df: DataFrame, key: Column, value: Column,
                      salts: Int, out: String): DataFrame =
@@ -31,16 +34,23 @@ object Skew {
       .groupBy(col("k")).agg(sum(col("part")).as(out))
 
   /** Salted equi-join for a hot-keyed big side against a small side too
-    * big to broadcast: each big row gets a row-varying salt in
+    * big to broadcast: each big row gets a content-derived salt in
     * [0, salts) and the small side is replicated once per salt, so a
-    * hot key lands on `salts` reducers instead of one. The salt value
-    * is plan-internal — any per-row assignment yields the same join
-    * result (every (key, salt) pair has its small-side replica).
+    * hot key lands on `salts` reducers instead of one. The salt hashes
+    * the WHOLE big row (never monotonically_increasing_id or rand: a
+    * task retry after a shuffle-fetch failure must re-derive the SAME
+    * salt per row, or rows double-join or vanish across attempts);
+    * identical duplicate rows sharing a salt is correct, just slightly
+    * less spread. The salt value is otherwise plan-internal — every
+    * (key, salt) pair has its small-side replica.
     */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String, salts: Int): DataFrame = {
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin: inputs must not already carry a __salt column")
     val b = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
+        lit(salts.toLong)).cast("int"))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))

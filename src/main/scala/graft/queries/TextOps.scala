@@ -21,7 +21,11 @@ object TextOps {
     * DuckDB: strips SPACES only (SQL trim semantics; Java's
     * String.trim also eats \t\n\r) and keeps leading/trailing empty
     * tokens exactly as Spark's split (limit -1) and DuckDB's
-    * regexp_split_to_array do.
+    * regexp_split_to_array do. Known contract boundary: Java's \s
+    * includes U+000B vertical tab, RE2's (DuckDB's) does not — that
+    * divergence is shared by EVERY Spark-SQL-regex query in this repo
+    * vs DuckDB, and \x0B is out of contract for the corpus (the
+    * extraction ingest strips control chars).
     */
   private[queries] def tokensScala(s: String): Array[String] = {
     var b = 0

@@ -47,4 +47,34 @@ class JsonlPagesSpec extends AnyFunSuite {
     // keys are unique and complete
     assert(idx.map(_.getString(4)).distinct.length == 50)
   }
+
+  test("topLevelScalar: depth-1 only, unescapes, rejects non-scalars") {
+    import JsonlPages.topLevelScalar
+    // a same-named field nested earlier must NOT shadow the top-level one
+    assert(topLevelScalar("""{"meta":{"url":"inner"},"url":"outer"}""", "url")
+      == Some("outer"))
+    // escapes in both key and value
+    assert(topLevelScalar("""{"a\nb":"x\tyA"}""", "a\nb") == Some("x\tyA"))
+    // numbers and booleans come back literally
+    assert(topLevelScalar("""{"n":-1.5e3,"b":true}""", "n") == Some("-1.5e3"))
+    assert(topLevelScalar("""{"n":-1.5e3,"b":true}""", "b") == Some("true"))
+    // absent / null / non-scalar → None (seekIndex then fails loudly)
+    assert(topLevelScalar("""{"a":1}""", "zz").isEmpty)
+    assert(topLevelScalar("""{"a":null}""", "a").isEmpty)
+    assert(topLevelScalar("""{"a":[1,2]}""", "a").isEmpty)
+    assert(topLevelScalar("""{"a":{"b":1}}""", "a").isEmpty)
+    // a string VALUE equal to the key name must not be mistaken for a key
+    assert(topLevelScalar("""{"x":"url","url":7}""", "url") == Some("7"))
+  }
+
+  test("seekIndex fails loudly when the key field is absent") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_badkey").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.txt"), "{\"a\":1}\n{\"a\":2}\n")
+    val ex = intercept[org.apache.spark.SparkException] {
+      JsonlPages.seekIndex(spark, dir, "missing").collect()
+    }
+    assert(ex.getMessage.contains("missing") ||
+      Option(ex.getCause).exists(_.getMessage.contains("missing")))
+  }
 }
