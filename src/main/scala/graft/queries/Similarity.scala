@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -225,12 +225,14 @@ object Similarity {
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Top-3 cells by round6(squared L2), ties on ascending cid (cents MUST
-    * arrive cid-ascending); absent slots stay Long.MaxValue like the fold. */
-  private def scalaTop3(v: Array[Double], cents: Array[(Long, Array[Double])]): Array[Long] = {
-    var d1 = Double.MaxValue; var c1 = Long.MaxValue
-    var d2 = Double.MaxValue; var c2 = Long.MaxValue
-    var d3 = Double.MaxValue; var c3 = Long.MaxValue
+  /** Top-k cells by round6(squared L2), ties on ascending cid (cents
+    * MUST arrive cid-ascending; strict-< insertion keeps the earlier =
+    * lower cid ahead on ties, the [[scalaTop3]] rule generalized);
+    * absent slots stay Long.MaxValue like the fold. */
+  private def scalaTopK(v: Array[Double], cents: Array[(Long, Array[Double])],
+                        k: Int): Array[Long] = {
+    val ds = Array.fill(k)(Double.MaxValue)
+    val cs = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < cents.length) {
       val cid = cents(i)._1
@@ -239,13 +241,20 @@ object Similarity {
       var j = 0
       while (j < v.length) { val d = v(j) - ce(j); s += d * d; j += 1 }
       val dd = round6(s)
-      if (dd < d1) { d3 = d2; c3 = c2; d2 = d1; c2 = c1; d1 = dd; c1 = cid }
-      else if (dd < d2) { d3 = d2; c3 = c2; d2 = dd; c2 = cid }
-      else if (dd < d3) { d3 = dd; c3 = cid }
+      var p = k
+      while (p > 0 && dd < ds(p - 1)) p -= 1
+      if (p < k) {
+        var q = k - 1
+        while (q > p) { ds(q) = ds(q - 1); cs(q) = cs(q - 1); q -= 1 }
+        ds(p) = dd; cs(p) = cid
+      }
       i += 1
     }
-    Array(c1, c2, c3)
+    cs
   }
+
+  private def scalaTop3(v: Array[Double], cents: Array[(Long, Array[Double])]): Array[Long] =
+    scalaTopK(v, cents, 3)
 
   /** Codebook table (cid, ce) → driver array, cid-ascending. Bounded by
     * the MaxBroadcastCells cap — the "trained codebook of bounded size"
@@ -265,8 +274,8 @@ object Similarity {
     * (vec_id, embedding, home, probes, nrm) contract as [[assignAgainst]].
     */
   private[queries] def assignScala(e: org.apache.spark.sql.DataFrame,
-      cents: Array[(Long, Array[Double])], by: String = "embedding")
-      : org.apache.spark.sql.DataFrame = {
+      cents: Array[(Long, Array[Double])], by: String = "embedding",
+      probes: Int = 3): org.apache.spark.sql.DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
@@ -275,7 +284,7 @@ object Similarity {
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (vid, emb, v) =>
-          val top = scalaTop3(v, cs)
+          val top = scalaTopK(v, cs, probes)
           var s = 0.0
           var j = 0
           while (j < emb.length) { val x = emb(j).toDouble; s += x * x; j += 1 }
@@ -609,54 +618,51 @@ object Similarity {
       .persist()
   }
 
-  /** Trained-codebook recall: the same evaluation with the quantizer
-    * genuinely TRAINED — vectors L2-normalized (so the L2 cells respect
-    * cosine neighborhoods; round 2 measured that skipping this caps
-    * recall at ~0.44), label centroids as the deterministic k-means init,
-    * then 3 Lloyd iterations with exact-decimal means. Same probe-3
-    * budget and oracle discipline as q39; the Lloyd chain is unrolled
-    * bit-exactly in the DuckDB oracle. Measured recall@5 at sf0.01:
-    * 0.84 (vs 0.40 untrained q39) — this is what training buys.
+  /** L2-normalize + label-init + 3 exact-decimal Lloyd rounds, then the
+    * broadcast-codebook assignment with `probes` probed cells — the
+    * trained quantizer shared by q40 and the q49 probe sweep.
     */
-  val q40TrainedRecall = QueryDef(
-    "q40_trained_recall",
-    (s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      // normalized coordinates rounded to 6 decimals: all downstream
-      // means go through exact DECIMAL(9,6) sums on both engines. Typed
-      // map, not a transform lambda: re-embedding the norm aggregate
-      // inside the per-element lambda would evaluate it once PER ELEMENT
-      // (interpreted HOFs have no CSE) — O(dim²) per row
-      val en = {
-        import s.implicits._
-        e.select(col("vec_id"), col("label"), col("embedding"))
-          .as[(Long, Int, Array[Float])]
-          .mapPartitions(_.map { case (vid, lab, emb) =>
-            var ss = 0.0
-            var i = 0
-            while (i < emb.length) { val x = emb(i).toDouble; ss += x * x; i += 1 }
-            val nrm = math.sqrt(ss)
-            val ne = new Array[Double](emb.length)
-            i = 0
-            while (i < emb.length) { ne(i) = round6(emb(i).toDouble / nrm); i += 1 }
-            NormRow(vid, lab, emb, ne)
-          })
-          .toDF()
-          .persist()
-      }
-      val cb0 = en.select(col("label"), posexplode(col("ne")).as(Seq("pos0", "v")))
-        .groupBy("label", "pos0")
-        .agg((sum(col("v").cast("decimal(9,6)")).cast("double") / count(lit(1))).as("cv"))
-        .groupBy("label")
-        .agg(array_sort(collect_list(struct(col("pos0"), col("cv")))).as("pcs"))
-        .select(col("label").cast("long").as("cid"),
-          transform(col("pcs"), x => x.getField("cv")).as("ce"))
+  private def trainedAssignedDf(s: SparkSession, dir: String, probes: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    // normalized coordinates rounded to 6 decimals: all downstream
+    // means go through exact DECIMAL(9,6) sums on both engines. Typed
+    // map, not a transform lambda: re-embedding the norm aggregate
+    // inside the per-element lambda would evaluate it once PER ELEMENT
+    // (interpreted HOFs have no CSE) — O(dim²) per row
+    val en = {
+      import s.implicits._
+      e.select(col("vec_id"), col("label"), col("embedding"))
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions(_.map { case (vid, lab, emb) =>
+          var ss = 0.0
+          var i = 0
+          while (i < emb.length) { val x = emb(i).toDouble; ss += x * x; i += 1 }
+          val nrm = math.sqrt(ss)
+          val ne = new Array[Double](emb.length)
+          i = 0
+          while (i < emb.length) { ne(i) = round6(emb(i).toDouble / nrm); i += 1 }
+          NormRow(vid, lab, emb, ne)
+        })
+        .toDF()
         .persist()
-      val trained = (1 to 3).foldLeft(cb0)((cb, _) => lloydRound(en, cb))
-      recallFromAssigned(assignScala(en, collectCents(trained), by = "ne"))
-    },
-    Some(s"""
-      WITH en AS (SELECT vec_id, label,
+    }
+    val cb0 = en.select(col("label"), posexplode(col("ne")).as(Seq("pos0", "v")))
+      .groupBy("label", "pos0")
+      .agg((sum(col("v").cast("decimal(9,6)")).cast("double") / count(lit(1))).as("cv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos0"), col("cv")))).as("pcs"))
+      .select(col("label").cast("long").as("cid"),
+        transform(col("pcs"), x => x.getField("cv")).as("ce"))
+      .persist()
+    val trained = (1 to 3).foldLeft(cb0)((cb, _) => lloydRound(en, cb))
+    assignScala(en, collectCents(trained), by = "ne", probes = probes)
+  }
+
+  /** The trained-quantizer CTE chain (normalize → label init → 3 Lloyd
+    * rounds → distance rank `rkd` → `home`) shared by the q40 and q49
+    * oracles — one definition, so quantizer tuning can never diverge. */
+  private def trainedChainSql: String = s"""en AS (SELECT vec_id, label,
                          -- norm hoisted out of the per-element lambda
                          -- (same O(dim^2) trap the Spark side avoids)
                          list_transform(embedding,
@@ -677,7 +683,22 @@ object Similarity {
       rkd AS (SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id ORDER BY d26 ASC, cid ASC) AS rk
               FROM d4),
-      home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1),
+      home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1)"""
+
+  /** Trained-codebook recall: the same evaluation with the quantizer
+    * genuinely TRAINED — vectors L2-normalized (so the L2 cells respect
+    * cosine neighborhoods; round 2 measured that skipping this caps
+    * recall at ~0.44), label centroids as the deterministic k-means init,
+    * then 3 Lloyd iterations with exact-decimal means. Same probe-3
+    * budget and oracle discipline as q39; the Lloyd chain is unrolled
+    * bit-exactly in the DuckDB oracle. Measured recall@5 at sf0.01:
+    * 0.84 (vs 0.40 untrained q39) — this is what training buys.
+    */
+  val q40TrainedRecall = QueryDef(
+    "q40_trained_recall",
+    (s, dir) => recallFromAssigned(trainedAssignedDf(s, dir, probes = 3)),
+    Some(s"""
+      WITH $trainedChainSql,
       probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 3),
       $recallTailSql
     """.trim)
@@ -760,7 +781,64 @@ object Similarity {
     """.trim)
   )
 
+  /** One probe level of the sweep oracle: probed cells at rk <= p, IVF
+    * top-5 from them, hits against the shared exact baseline `ext`. */
+  private def sweepBlockSql(p: Int): String = s"""
+      probes_$p AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= $p),
+      qs_$p AS (SELECT p.vec_id AS qid, p.cell AS pcell, e.embedding AS qe
+                FROM probes_$p p JOIN embeddings e ON p.vec_id = e.vec_id
+                WHERE p.vec_id % 100 = 4),
+      ivf_$p AS (SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
+        FROM (SELECT qid, nid, ${cosSql("qe", "ne")} AS cos6
+          FROM qs_$p JOIN cands ON pcell = ncell AND qid <> nid) a) b WHERE rk <= 5),
+      h2_$p AS (SELECT e.qid, count(*) AS hits FROM ext e
+                JOIN ivf_$p i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid),
+      r_$p AS (SELECT q.qid, round(coalesce(h.hits, 0) / 5.0, 6) AS recall5
+               FROM qv q LEFT JOIN h2_$p h ON q.qid = h.qid)""".trim
+
+  private def sweepMeanSql(p: Int): String =
+    s"""SELECT $p AS probes, count(*) AS n_queries,
+           round(CAST(sum(CAST(recall5 AS DECIMAL(9,6))) AS DOUBLE) / count(*), 6) AS mean_recall5
+        FROM r_$p"""
+
+  /** Measured recall-vs-probe tradeoff on the TRAINED quantizer: mean
+    * recall@5 over the query sample at probe budgets 1/3/5 — the
+    * "measure, don't guess" curve behind the probe-3 default (measured
+    * at sf0.01: 0.32 / 0.84 / 0.88 — strong diminishing returns past
+    * 3). The top-5 assignment is computed once; each budget slices its
+    * prefix (the top-k rule is prefix-stable), and the exact baseline
+    * is shared.
+    */
+  val q49ProbeSweep = QueryDef(
+    "q49_probe_sweep",
+    (s, dir) => {
+      val a5 = trainedAssignedDf(s, dir, probes = 5)
+      Seq(1, 3, 5).map { p =>
+        recallFromAssigned(a5.withColumn("probes", slice(col("probes"), 1, p)))
+          .agg(count(lit(1)).as("n_queries"),
+            round(sum(col("recall5").cast("decimal(9,6)")).cast("double") / count(lit(1)), 6)
+              .as("mean_recall5"))
+          .select(lit(p).as("probes"), col("n_queries"), col("mean_recall5"))
+      }.reduce(_.unionByName(_)).orderBy("probes")
+    },
+    Some(s"""
+      WITH $trainedChainSql,
+      qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 4),
+      cands AS (SELECT h.vec_id AS nid, h.cell AS ncell, e.embedding AS ne
+                FROM home h JOIN embeddings e ON h.vec_id = e.vec_id),
+      ext AS (SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
+        FROM (SELECT q.qid, c2.nid, ${cosSql("q.qe", "c2.ne")} AS cos6
+          FROM qv q JOIN cands c2 ON q.qid <> c2.nid) a) b WHERE rk <= 5),
+      ${Seq(1, 3, 5).map(sweepBlockSql).mkString(",\n      ")}
+      SELECT probes, n_queries, mean_recall5 FROM (
+        ${Seq(1, 3, 5).map(sweepMeanSql).mkString("\n        UNION ALL\n        ")}
+      ) ORDER BY probes
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q23CosineTopk, q24Centroids, q25IvfAssign, q31EmbedNeardup, q32IvfSearch,
-    q39AnnRecall, q40TrainedRecall, q41TwoLevelAssign)
+    q39AnnRecall, q40TrainedRecall, q41TwoLevelAssign, q49ProbeSweep)
 }
