@@ -806,9 +806,12 @@ object Similarity {
     * recall@5 over the query sample at probe budgets 1/3/5 — the
     * "measure, don't guess" curve behind the probe-3 default (measured
     * at sf0.01: 0.32 / 0.84 / 0.88 — strong diminishing returns past
-    * 3). The top-5 assignment is computed once; each budget slices its
-    * prefix (the top-k rule is prefix-stable), and the exact baseline
-    * is shared.
+    * 3; at sf0.1 with the SAME fixed label-count codebook: 0.25 / 0.58
+    * / 0.75 — fixed-k recall decays as n grows, which is precisely why
+    * the search path scales k ~ √n (q32) and goes two-level past the
+    * broadcast cap (q41)). The top-5 assignment is computed once; each
+    * budget slices its prefix (the top-k rule is prefix-stable), and
+    * the exact baseline is shared.
     */
   val q49ProbeSweep = QueryDef(
     "q49_probe_sweep",
