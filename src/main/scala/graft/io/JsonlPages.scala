@@ -96,7 +96,9 @@ object JsonlPages {
       .toDF("path", "line_idx", "byte_offset", "byte_len", keyField)
   }
 
-  /** Index after the closing quote of the JSON string opening at `start`. */
+  /** Index after the closing quote of the JSON string opening at
+    * `start`, or -1 when the string never closes (truncated record —
+    * the caller must refuse it, not silently accept a prefix). */
   private def stringEnd(s: String, start: Int): Int = {
     var i = start + 1
     while (i < s.length) {
@@ -105,8 +107,11 @@ object JsonlPages {
       else if (c == '"') return i + 1
       else i += 1
     }
-    s.length
+    -1
   }
+
+  private val pScalarToken =
+    java.util.regex.Pattern.compile("-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?|true|false")
 
   /** Scalar value of TOP-LEVEL field `keyField` in a one-line JSON
     * object — depth-tracked, so a same-named field inside a nested
@@ -124,6 +129,7 @@ object JsonlPages {
         case '}' | ']' => depth -= 1; i += 1
         case '"' =>
           val end = stringEnd(line, i)
+          if (end < 0) return None // truncated string: refuse, never prefix
           var j = end
           while (j < n && line.charAt(j).isWhitespace) j += 1
           if (depth == 1 && j < n && line.charAt(j) == ':') {
@@ -133,13 +139,16 @@ object JsonlPages {
             if (isMatch) {
               if (j >= n) return None
               return line.charAt(j) match {
-                case '"' => Some(unescapeJson(line.substring(j + 1, stringEnd(line, j) - 1)))
+                case '"' =>
+                  val ve = stringEnd(line, j)
+                  if (ve < 0) None else Some(unescapeJson(line.substring(j + 1, ve - 1)))
                 case '{' | '[' => None
                 case _ =>
                   var k = j
                   while (k < n && ",}] \t".indexOf(line.charAt(k).toInt) < 0) k += 1
                   val tok = line.substring(j, k)
-                  if (tok == "null") None else Some(tok)
+                  // only valid JSON scalars; a bare word is corruption
+                  if (pScalarToken.matcher(tok).matches()) Some(tok) else None
               }
             } else i = j // continue from the value; the loop handles its kind
           } else i = end

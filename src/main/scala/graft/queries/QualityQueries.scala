@@ -95,11 +95,14 @@ object QualityQueries {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, tx) =>
-          val toks = TextOps.tokensScala(tx)
-          val grams =
-            if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toArray
-            else Array.empty[String]
-          (id, grams.length, grams.distinct.length)
+          if (tx == null) (id, None, None) // NULL text → NULL stats (oracle parity)
+          else {
+            val toks = TextOps.tokensScala(tx)
+            val grams =
+              if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toArray
+              else Array.empty[String]
+            (id, Some(grams.length), Some(grams.distinct.length))
+          }
         })
         .toDF("doc_id", "n_grams", "n_distinct")
         .select(
@@ -138,9 +141,12 @@ object QualityQueries {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("text")).as[String]
         .mapPartitions(_.flatMap { tx =>
-          val toks = TextOps.tokensScala(tx)
-          if (toks.length < 2) Iterator.empty
-          else toks.sliding(2).map(_.mkString(" "))
+          if (tx == null) Iterator.empty // NULL text yields no grams (oracle parity)
+          else {
+            val toks = TextOps.tokensScala(tx)
+            if (toks.length < 2) Iterator.empty
+            else toks.sliding(2).map(_.mkString(" "))
+          }
         })
         .toDF("gram")
         .groupBy("gram").agg(count(lit(1)).as("cnt"))

@@ -511,9 +511,29 @@ object Similarity {
     * join. Ranking ties break on (cos6 desc, nid) on both engines, so
     * the whole evaluation is bit-exact against DuckDB.
     */
+  /** The exact brute-force top-5 baseline (qid, nid) over the query
+    * sample — independent of the probes column, so a probe sweep can
+    * compute it ONCE and share it across budgets. */
+  private def exactTop5(assigned: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
+      col("embedding").as("ne"), col("nrm").as("cn"))
+    val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+    val qsE = assigned.filter(col("vec_id") % 100 === 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    cands.join(broadcast(qsE), col("qid") =!= col("nid"))
+      .withColumn("cos6", round(cos, 6))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"))
+  }
+
   /** recall@5 evaluation over any assignment (home + probes + nrm): IVF
-    * candidates from probed cells vs the exact broadcast baseline. */
-  private def recallFromAssigned(assigned: org.apache.spark.sql.DataFrame)
+    * candidates from probed cells vs the exact broadcast baseline —
+    * computed here unless the caller passes a precomputed (persisted)
+    * one. */
+  private def recallFromAssigned(assigned: org.apache.spark.sql.DataFrame,
+      exactOpt: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
       col("embedding").as("ne"), col("nrm").as("cn"))
@@ -526,16 +546,12 @@ object Similarity {
       .withColumn("cos6", round(cos, 6))
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
       .select(col("qid"), col("nid"))
-    val qsE = assigned.filter(col("vec_id") % 100 === 4)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val exact = cands.join(broadcast(qsE), col("qid") =!= col("nid"))
-      .withColumn("cos6", round(cos, 6))
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
-      .select(col("qid"), col("nid"))
+    val exact = exactOpt.getOrElse(exactTop5(assigned))
     val hits = exact.as("x")
       .join(ivf.as("y"), col("x.qid") === col("y.qid") && col("x.nid") === col("y.nid"))
       .groupBy(col("x.qid").as("qid")).agg(count(lit(1)).as("hits"))
-    qsE.select("qid").join(hits, Seq("qid"), "left")
+    assigned.filter(col("vec_id") % 100 === 4).select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
       .orderBy("qid")
@@ -817,8 +833,9 @@ object Similarity {
     "q49_probe_sweep",
     (s, dir) => {
       val a5 = trainedAssignedDf(s, dir, probes = 5)
+      val exact = exactTop5(a5).persist() // shared across the three budgets
       Seq(1, 3, 5).map { p =>
-        recallFromAssigned(a5.withColumn("probes", slice(col("probes"), 1, p)))
+        recallFromAssigned(a5.withColumn("probes", slice(col("probes"), 1, p)), Some(exact))
           .agg(count(lit(1)).as("n_queries"),
             round(sum(col("recall5").cast("decimal(9,6)")).cast("double") / count(lit(1)), 6)
               .as("mean_recall5"))

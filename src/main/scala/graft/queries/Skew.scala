@@ -48,9 +48,14 @@ object Skew {
                  bigKey: String, smallKey: String, salts: Int): DataFrame = {
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
       "saltedJoin: inputs must not already carry a __salt column")
+    // hash the non-map columns (xxhash64 rejects MapType); if the row is
+    // ALL maps, fall back to the key — degenerate spread but still correct
+    val hashable = big.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    val saltSrc = if (hashable.nonEmpty) hashable else IndexedSeq(col(bigKey))
     val b = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
-        lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(saltSrc: _*)), lit(salts.toLong)).cast("int"))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))

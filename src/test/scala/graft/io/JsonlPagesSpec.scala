@@ -65,6 +65,11 @@ class JsonlPagesSpec extends AnyFunSuite {
     assert(topLevelScalar("""{"a":{"b":1}}""", "a").isEmpty)
     // a string VALUE equal to the key name must not be mistaken for a key
     assert(topLevelScalar("""{"x":"url","url":7}""", "url") == Some("7"))
+    // truncated records refuse rather than silently indexing a prefix
+    assert(topLevelScalar("""{"url":"abc""", "url").isEmpty)
+    assert(topLevelScalar("""{"url""", "url").isEmpty)
+    // a bare unquoted token is corruption, not a key
+    assert(topLevelScalar("""{"url":abc}""", "url").isEmpty)
   }
 
   test("seekIndex fails loudly when the key field is absent") {

@@ -21,14 +21,19 @@ class QualityQueriesSpec extends AnyFunSuite {
       // edge whitespace pins the SQL tokenizer twin: trim strips SPACES
       // only, and split keeps leading/trailing empty tokens
       (5L, "one two three four\n"),
-      (6L, "\tx y z")
+      (6L, "\tx y z"),
+      // NULL text must flow through as NULL stats, not NPE
+      (7L, null.asInstanceOf[String])
     ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
 
   test("q44: rule flags and keep decision match hand computation") {
-    val rows = QualityQueries.q44GopherRules.fn(spark, fixtureDir)
-      .collect().map(r => r.getLong(0) ->
+    val all = QualityQueries.q44GopherRules.fn(spark, fixtureDir).collect()
+    // doc 7 (NULL text): every derived column NULL, like the SQL oracle
+    val nullRow = all.find(_.getLong(0) == 7L).get
+    assert((1 to 7).forall(nullRow.isNullAt), s"NULL text must give NULL flags: $nullRow")
+    val rows = all.filter(_.getLong(0) != 7L).map(r => r.getLong(0) ->
         (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6), r.getInt(7))).toMap
     // doc 1: 11 tokens, all alphabetic, 4 stopwords, mean word len 3.0 → keep
     assert(rows(1L) == ((11, 11, 4, 4, 3.0, 1.0, 1)))
@@ -46,8 +51,11 @@ class QualityQueriesSpec extends AnyFunSuite {
   }
 
   test("q45: repeated-trigram fraction matches hand computation") {
-    val rows = QualityQueries.q45NgramRepetition.fn(spark, fixtureDir)
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val all = QualityQueries.q45NgramRepetition.fn(spark, fixtureDir).collect()
+    val nullRow = all.find(_.getLong(0) == 7L).get
+    assert((1 to 3).forall(nullRow.isNullAt), s"NULL text must give NULL stats: $nullRow")
+    val rows = all.filter(_.getLong(0) != 7L)
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
     // doc 1: 9 unique trigrams
     assert(rows(1L) == ((9, 9, 0.0)))
     // doc 2: trigrams [zz zz zz, zz zz zz] → 2 total, 1 distinct, rep 0.5
