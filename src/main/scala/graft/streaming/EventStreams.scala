@@ -33,6 +33,17 @@ object EventStreams {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-static enrichment: join the stream against a static
+    * dimension (language weights, scrub templates, allow/deny lists) —
+    * stateless, no watermark, no state store; the static side is
+    * broadcast per micro-batch so the stream side never shuffles. At
+    * crawl scale the dimension is the small side by construction,
+    * exactly the broadcast regime; a dimension too big to broadcast
+    * belongs in [[graft.io.TableIO.writeBucketed]] storage instead.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup for an incremental page/document feed: the
     * FIRST arrival of a content hash within the watermark horizon wins;
     * later duplicates drop. `dropDuplicatesWithinWatermark` expires the

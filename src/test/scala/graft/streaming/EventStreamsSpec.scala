@@ -35,6 +35,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0)
   }
 
+  test("stream-static enrichment matches the batch join and keeps no state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val evStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val dim = Seq(("click", 1.0), ("view", 0.1), ("purchase", 10.0))
+      .toDF("event_type", "weight")
+    val q = EventStreams.enrichStream(evStream, dim, "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    // stateless: a stream-static join must not allocate a state store
+    assert(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+      "stream-static join must be stateless")
+    q.awaitTermination(60000); q.stop()
+    val streamed = spark.table("enriched")
+    val batch = EventStreams.enrichStream(
+      spark.read.parquet(s"$sf/events.parquet"), dim, "event_type")
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("sessionization state machine closes sessions on gaps") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long) =
