@@ -859,13 +859,21 @@ object Similarity {
   )
 
   /** Deterministic pseudo-random hyperplanes for cosine LSH — plain
-    * integer arithmetic (Knuth multiplicative hash mod a prime, shifted
-    * to [-0.5, 0.5)) so the DuckDB oracle rebuilds them bit-exactly.
+    * integer arithmetic so the DuckDB oracle rebuilds them bit-exactly.
+    * The mix is a Knuth multiplicative hash mod a prime SQUARED mod the
+    * prime: the quadratic step breaks the Weyl progression a purely
+    * linear map leaves (constant component-to-component increment →
+    * correlated planes and skewed buckets), and the j-stride 131071
+    * exceeds any embedding dim so planes never share index ranges.
     * "Random" enough for bucketing; deterministic by the north rule.
     */
   private def lshPlanes(bits: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(bits)(j => Array.tabulate(dim)(i =>
-      (((j * 31 + i).toLong * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5))
+    Array.tabulate(bits) { j =>
+      Array.tabulate(dim) { i =>
+        val y = ((j.toLong * 131071L + i + 1L) * 2654435761L) % 1000003L
+        ((y * y) % 1000003L).toDouble / 1000003.0 - 0.5
+      }
+    }
 
   /** Random-hyperplane LSH bucketing with 1-bit-flip multiprobe: the
     * sign pattern of `bits` hyperplane dots is the bucket; probes are
@@ -891,7 +899,10 @@ object Similarity {
             var s = 0.0
             var i = 0
             while (i < emb.length) { s += emb(i).toDouble * h(i); i += 1 }
-            if (s >= 0) b |= (1L << j)
+            // round before the sign test (the repo's cross-engine rule:
+            // never compare raw fold results — a ULP flip near zero
+            // would flip a bucket bit); -0.0 >= 0 is true in both engines
+            if (round6(s) >= 0) b |= (1L << j)
             j += 1
           }
           var ss = 0.0
@@ -912,11 +923,13 @@ object Similarity {
   private def lshAssignSql(bits: Int): String = s"""
       dm AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
       hp AS (SELECT j, list_transform(range(0, dim),
-                      i -> CAST(((j * 31 + i) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS h
+                      i -> CAST(((((j * 131071 + i + 1) * 2654435761) % 1000003)
+                               * (((j * 131071 + i + 1) * 2654435761) % 1000003)) % 1000003 AS DOUBLE)
+                           / 1000003.0 - 0.5) AS h
              FROM range(0, $bits) t(j), dm),
       dots AS (SELECT e.vec_id, hp.j,
-                 list_sum(list_transform(generate_series(1, len(e.embedding)),
-                   i -> CAST(e.embedding[i] AS DOUBLE) * hp.h[i])) AS d
+                 round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * hp.h[i])), 6) AS d
                FROM embeddings e CROSS JOIN hp),
       bk AS (SELECT vec_id,
                CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
@@ -944,10 +957,10 @@ object Similarity {
   /** recall@5 of the multiprobe LSH path against the exact baseline —
     * measured beside q39 (untrained IVF) and q40 (trained IVF) so the
     * two scale paths are comparable on the same data and harness.
-    * Measured at sf0.01: 0.24 (59 buckets, 7 probed ≈ 12% of the
-    * corpus scanned) vs 0.32 untrained-IVF probe-1 and 0.84 trained
-    * probe-3 — the measured case for IVF as the primary path, with LSH
-    * as the training-free alternative.
+    * Measured at sf0.01: 0.24 (all 64 buckets occupied, 7 probed ≈ 11%
+    * of the corpus scanned) vs 0.32 untrained-IVF probe-1 and 0.84
+    * trained probe-3 — the measured case for IVF as the primary path,
+    * with LSH as the training-free alternative.
     */
   val q51LshAnnRecall = QueryDef(
     "q51_lsh_ann_recall",
