@@ -197,9 +197,15 @@ object Dedup {
     * is integral (votes, Knuth mix, bit tests), so equality with the
     * Column version is structural — and EventStreamsSpec asserts the
     * streamed verdicts equal the batch q42 oracle-backed ones on a
-    * shared corpus. */
+    * shared corpus. Tokenization goes through [[TextOps.tokensScala]]
+    * (SQL-trim semantics: spaces only, empties kept) so texts with
+    * leading/trailing \t\n\r hash identically to the Column twin.
+    * Non-null input only: the Column twin yields NULL for NULL text
+    * (which no Long can represent) — callers route NULL around this
+    * (EventStreams.bandClaimsStream emits the batch side's
+    * null-band rows directly). */
   private[graft] def simhashMixedScala(text: String): Long = {
-    val toks = text.trim.split("\\s+")
+    val toks = TextOps.tokensScala(text)
     val votes = new Array[Int](16)
     var t = 0
     while (t < toks.length) {
@@ -259,8 +265,8 @@ object Dedup {
                      min(doc_id) OVER (PARTITION BY band_idx, band_val) AS winner
               FROM cl)
       SELECT doc_id,
-             sum(CASE WHEN doc_id = winner THEN 1 ELSE 0 END) AS bands_claimed,
-             sum(CASE WHEN doc_id = winner THEN 1 ELSE 0 END) = 4 AS novel
+             CAST(sum(CASE WHEN doc_id = winner THEN 1 ELSE 0 END) AS BIGINT) AS bands_claimed,
+             CAST(sum(CASE WHEN doc_id = winner THEN 1 ELSE 0 END) AS BIGINT) = 4 AS novel
       FROM won GROUP BY doc_id ORDER BY doc_id
     """.trim)
   )

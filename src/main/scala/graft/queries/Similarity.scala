@@ -634,9 +634,20 @@ object Similarity {
       .persist()
   }
 
-  /** L2-normalize + label-init + 3 exact-decimal Lloyd rounds, then the
-    * broadcast-codebook assignment with `probes` probed cells — the
-    * trained quantizer shared by q40 and the q49 probe sweep.
+  /** L2-normalize + first-⌈√n⌉ init + 3 exact-decimal Lloyd rounds, then
+    * the broadcast-codebook assignment with `probes` probed cells — the
+    * trained quantizer shared by q40 and the q49 probe sweep. This is
+    * the r3-verdict composition of the two previously separate halves:
+    * the TRAINED codebook (Lloyd on normalized coordinates) at the
+    * ⌈√n⌉ SIZE the search path scales with — a fixed label-count
+    * codebook's recall decays as n grows (r3 measured 0.84 → 0.58 from
+    * sf0.01 to sf0.1), while cell count ~ √n keeps both the probe
+    * fraction and the per-cell population balanced. k is capped at
+    * MaxBroadcastCells — the bounded-codebook contract that keeps the
+    * per-round driver-side collect legitimate; past the cap a real
+    * deployment trains each level of the q41 two-level quantizer on a
+    * corpus sample (super-cells first, then per-super-cell residuals),
+    * which keeps every training collect under the same bound.
     */
   private def trainedAssignedDf(s: SparkSession, dir: String, probes: Int)
       : org.apache.spark.sql.DataFrame = {
@@ -663,21 +674,21 @@ object Similarity {
         .toDF()
         .persist()
     }
-    val cb0 = en.select(col("label"), posexplode(col("ne")).as(Seq("pos0", "v")))
-      .groupBy("label", "pos0")
-      .agg((sum(col("v").cast("decimal(9,6)")).cast("double") / count(lit(1))).as("cv"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos0"), col("cv")))).as("pcs"))
-      .select(col("label").cast("long").as("cid"),
-        transform(col("pcs"), x => x.getField("cv")).as("ce"))
+    // init: the first ⌈√n⌉ NORMALIZED vectors — the same deterministic
+    // "sample" the untrained √n chain uses (centroidTable), but on the
+    // spherical coordinates the Lloyd rounds refine
+    val k = math.min(math.ceil(math.sqrt(en.count().toDouble)).toLong, MaxBroadcastCells)
+    val cb0 = en.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("ne").as("ce"))
       .persist()
     val trained = (1 to 3).foldLeft(cb0)((cb, _) => lloydRound(en, cb))
     assignScala(en, collectCents(trained), by = "ne", probes = probes)
   }
 
-  /** The trained-quantizer CTE chain (normalize → label init → 3 Lloyd
-    * rounds → distance rank `rkd` → `home`) shared by the q40 and q49
-    * oracles — one definition, so quantizer tuning can never diverge. */
+  /** The trained-quantizer CTE chain (normalize → first-⌈√n⌉ init →
+    * 3 Lloyd rounds → distance rank `rkd` → `home`) shared by the q40
+    * and q49 oracles — one definition, so quantizer tuning can never
+    * diverge. */
   private def trainedChainSql: String = s"""en AS (SELECT vec_id, label,
                          -- norm hoisted out of the per-element lambda
                          -- (same O(dim^2) trap the Spark side avoids)
@@ -687,10 +698,8 @@ object Similarity {
                                sqrt(list_sum(list_transform(embedding,
                                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
                         FROM embeddings)),
-      x0 AS (SELECT label, unnest(generate_series(1, len(ne))) AS pos, unnest(ne) AS v FROM en),
-      cb0 AS (SELECT CAST(label AS BIGINT) AS cid, list(cv ORDER BY pos) AS ce FROM (
-                SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(9,6))) AS DOUBLE) / count(*) AS cv
-                FROM x0 GROUP BY label, pos) GROUP BY label),
+      nn AS (SELECT LEAST(CAST(ceil(sqrt(count(*))) AS BIGINT), 4096) AS k FROM embeddings),
+      cb0 AS (SELECT vec_id AS cid, ne AS ce FROM en, nn WHERE vec_id < k),
       ${(1 to 3).map(lloydRoundSql).mkString(",\n      ")},
       d4 AS (SELECT e.vec_id, c.cid,
                round(list_sum(list_transform(generate_series(1, len(e.ne)),
@@ -702,13 +711,17 @@ object Similarity {
       home AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk = 1)"""
 
   /** Trained-codebook recall: the same evaluation with the quantizer
-    * genuinely TRAINED — vectors L2-normalized (so the L2 cells respect
-    * cosine neighborhoods; round 2 measured that skipping this caps
-    * recall at ~0.44), label centroids as the deterministic k-means init,
-    * then 3 Lloyd iterations with exact-decimal means. Same probe-3
-    * budget and oracle discipline as q39; the Lloyd chain is unrolled
-    * bit-exactly in the DuckDB oracle. Measured recall@5 at sf0.01:
-    * 0.84 (vs 0.40 untrained q39) — this is what training buys.
+    * genuinely TRAINED at the SIZE the search path scales with —
+    * vectors L2-normalized (so the L2 cells respect cosine
+    * neighborhoods; round 2 measured that skipping this caps recall at
+    * ~0.44), the first ⌈√n⌉ normalized vectors as the deterministic
+    * k-means init, then 3 Lloyd iterations with exact-decimal means.
+    * Same probe-3 budget and oracle discipline as q39; the Lloyd chain
+    * is unrolled bit-exactly in the DuckDB oracle. Measured probe-3
+    * recall@5 on this codebook: 0.44 at sf0.01, 0.38 at sf0.1 — above
+    * untrained q39 at the same budget, and bounded by the corpus's
+    * uniform direction geometry, not by training (see the q49 doc for
+    * the full measured curve and the ≥ 0.8 operating point).
     */
   val q40TrainedRecall = QueryDef(
     "q40_trained_recall",
@@ -797,45 +810,71 @@ object Similarity {
     """.trim)
   )
 
-  /** One probe level of the sweep oracle: probed cells at rk <= p, IVF
-    * top-5 from them, hits against the shared exact baseline `ext`. */
-  private def sweepBlockSql(p: Int): String = s"""
-      probes_$p AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= $p),
-      qs_$p AS (SELECT p.vec_id AS qid, p.cell AS pcell, e.embedding AS qe
-                FROM probes_$p p JOIN embeddings e ON p.vec_id = e.vec_id
+  /** The production probe knob for corpora whose cosine neighborhoods
+    * are NOT cluster-aligned (worst case: uniformly-random directions,
+    * which is what the synthetic embeddings table is — measured: mean
+    * same-label cosine ≈ mean cross-label cosine ≈ 0): on such data
+    * partition-ANN recall is a function of the SCAN FRACTION, so the
+    * budget that holds recall constant as k ~ √n grows is
+    * probes ≈ frac·k, not a constant. Clustered real-world corpora sit
+    * far above this floor at the same budget.
+    */
+  private[queries] def scanTargetProbes(k: Long, frac: Double): Int =
+    math.max(3, math.ceil(k * frac).toInt)
+
+  /** One probe level of the sweep oracle: probed cells at rk <= `thr`
+    * (an SQL expression so data-derived budgets stay engine-agnostic),
+    * IVF top-5 from them, hits against the shared exact baseline
+    * `ext`. */
+  private def sweepBlockSql(tag: String, thr: String): String = s"""
+      probes_$tag AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= $thr),
+      qs_$tag AS (SELECT p.vec_id AS qid, p.cell AS pcell, e.embedding AS qe
+                FROM probes_$tag p JOIN embeddings e ON p.vec_id = e.vec_id
                 WHERE p.vec_id % 100 = 4),
-      ivf_$p AS (SELECT qid, nid FROM (
+      ivf_$tag AS (SELECT qid, nid FROM (
         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
         FROM (SELECT qid, nid, ${cosSql("qe", "ne")} AS cos6
-          FROM qs_$p JOIN cands ON pcell = ncell AND qid <> nid) a) b WHERE rk <= 5),
-      h2_$p AS (SELECT e.qid, count(*) AS hits FROM ext e
-                JOIN ivf_$p i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid),
-      r_$p AS (SELECT q.qid, round(coalesce(h.hits, 0) / 5.0, 6) AS recall5
-               FROM qv q LEFT JOIN h2_$p h ON q.qid = h.qid)""".trim
+          FROM qs_$tag JOIN cands ON pcell = ncell AND qid <> nid) a) b WHERE rk <= 5),
+      h2_$tag AS (SELECT e.qid, count(*) AS hits FROM ext e
+                JOIN ivf_$tag i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid),
+      r_$tag AS (SELECT q.qid, round(coalesce(h.hits, 0) / 5.0, 6) AS recall5
+               FROM qv q LEFT JOIN h2_$tag h ON q.qid = h.qid)""".trim
 
-  private def sweepMeanSql(p: Int): String =
-    s"""SELECT $p AS probes, count(*) AS n_queries,
+  private def sweepMeanSql(tag: String, probeVal: String): String =
+    s"""SELECT CAST($probeVal AS INT) AS probes, count(*) AS n_queries,
            round(CAST(sum(CAST(recall5 AS DECIMAL(9,6))) AS DOUBLE) / count(*), 6) AS mean_recall5
-        FROM r_$p"""
+        FROM r_$tag"""
 
-  /** Measured recall-vs-probe tradeoff on the TRAINED quantizer: mean
-    * recall@5 over the query sample at probe budgets 1/3/5 — the
-    * "measure, don't guess" curve behind the probe-3 default (measured
-    * at sf0.01: 0.32 / 0.84 / 0.88 — strong diminishing returns past
-    * 3; at sf0.1 with the SAME fixed label-count codebook: 0.25 / 0.58
-    * / 0.75 — fixed-k recall decays as n grows, which is precisely why
-    * the search path scales k ~ √n (q32) and goes two-level past the
-    * broadcast cap (q41)). The top-5 assignment is computed once; each
-    * budget slices its prefix (the top-k rule is prefix-stable), and
-    * the exact baseline is shared.
+  /** Measured recall-vs-probe tradeoff on the TRAINED ⌈√n⌉ quantizer,
+    * at budgets 1 / 3 / ⌈k/2⌉ (the last data-derived via
+    * [[scanTargetProbes]], frac = 0.5). The r4 measurement campaign
+    * behind these budgets: the synthetic embeddings are directionally
+    * UNIFORM (same-label and cross-label mean cosine both ≈ 0 — labels
+    * carry no geometry), and on uniform data partition-ANN recall
+    * tracks the scan fraction almost linearly regardless of training
+    * quality (converged 25-round Lloyd measures within noise of the
+    * 3-round codebook; coverage of true neighbors' home cells is the
+    * binding ceiling). Measured on the trained √n codebook — sf0.01
+    * (k=23): probe-1 0.36 / probe-3 0.44 / probe-12 0.84 at 56% scan;
+    * sf0.1 (k=45): probe-1 0.20 / probe-3 0.38 / probe-23 ≈ 0.85 at
+    * ~52% scan. So the ⌈k/2⌉ row demonstrates the ≥ 0.8 operating
+    * point at BOTH scales, and the knob that holds it as n grows is
+    * the scan fraction, not a constant probe count — on clustered
+    * real-world embeddings the same machinery reaches it at far lower
+    * fractions. The top-⌈k/2⌉ assignment is computed once; each budget
+    * slices its prefix (the top-k rule is prefix-stable), and the
+    * exact baseline is shared.
     */
   val q49ProbeSweep = QueryDef(
     "q49_probe_sweep",
     (s, dir) => {
-      val a5 = trainedAssignedDf(s, dir, probes = 5)
-      val exact = exactTop5(a5).persist() // shared across the three budgets
-      Seq(1, 3, 5).map { p =>
-        recallFromAssigned(a5.withColumn("probes", slice(col("probes"), 1, p)), Some(exact))
+      val n = s.read.parquet(s"$dir/embeddings.parquet").count()
+      val k = math.min(math.ceil(math.sqrt(n.toDouble)).toLong, MaxBroadcastCells)
+      val half = scanTargetProbes(k, 0.5)
+      val aAll = trainedAssignedDf(s, dir, probes = half)
+      val exact = exactTop5(aAll).persist() // shared across the three budgets
+      Seq(1, 3, half).map { p =>
+        recallFromAssigned(aAll.withColumn("probes", slice(col("probes"), 1, p)), Some(exact))
           .agg(count(lit(1)).as("n_queries"),
             round(sum(col("recall5").cast("decimal(9,6)")).cast("double") / count(lit(1)), 6)
               .as("mean_recall5"))
@@ -844,6 +883,7 @@ object Similarity {
     },
     Some(s"""
       WITH $trainedChainSql,
+      pp AS (SELECT GREATEST(3, CAST(ceil(k / 2.0) AS BIGINT)) AS ph FROM nn),
       qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 4),
       cands AS (SELECT h.vec_id AS nid, h.cell AS ncell, e.embedding AS ne
                 FROM home h JOIN embeddings e ON h.vec_id = e.vec_id),
@@ -851,9 +891,11 @@ object Similarity {
         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
         FROM (SELECT q.qid, c2.nid, ${cosSql("q.qe", "c2.ne")} AS cos6
           FROM qv q JOIN cands c2 ON q.qid <> c2.nid) a) b WHERE rk <= 5),
-      ${Seq(1, 3, 5).map(sweepBlockSql).mkString(",\n      ")}
+      ${Seq("1" -> "1", "3" -> "3", "h" -> "(SELECT ph FROM pp)")
+        .map { case (tag, thr) => sweepBlockSql(tag, thr) }.mkString(",\n      ")}
       SELECT probes, n_queries, mean_recall5 FROM (
-        ${Seq(1, 3, 5).map(sweepMeanSql).mkString("\n        UNION ALL\n        ")}
+        ${Seq("1" -> "1", "3" -> "3", "h" -> "(SELECT ph FROM pp)")
+          .map { case (tag, pv) => sweepMeanSql(tag, pv) }.mkString("\n        UNION ALL\n        ")}
       ) ORDER BY probes
     """.trim)
   )

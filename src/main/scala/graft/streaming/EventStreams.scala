@@ -75,13 +75,24 @@ object EventStreams {
     * downstream by the batch q22 Jaccard verifier). [[classifyClaims]] is
     * that batch-side classification over a claims sink.
     *
-    * Lateness caveat: a document arriving with an event time behind the
-    * advanced watermark is DROPPED before the dedup state and thus claims
-    * nothing — indistinguishable in the claims sink from an exact
-    * duplicate. Pipelines that must not discard late uniques should
-    * route late arrivals (visible in the ingest stream but absent from
-    * claims at every band) to a batch reconciliation pass instead of
-    * trusting novel=false for them.
+    * Lateness caveat (semantics pinned by EventStreamsSpec): a document
+    * behind the watermark is DROPPED by the late-events filter before
+    * the dedup state and claims nothing — indistinguishable in the
+    * claims sink from an exact duplicate, so a late UNIQUE reads as
+    * novel=false. (Implementation detail, not relied on: that filter
+    * runs one micro-batch behind the eviction watermark, so a row
+    * landing in the very batch of a watermark jump may still slip
+    * through — it then dedups against pre-eviction state, i.e.
+    * normally.) Route documents flagged late at ingest (event time ≤
+    * the current watermark) to [[reconcileLate]], which re-judges them
+    * against the full claims history instead of trusting novel=false.
+    * Separate, inherent trade: a SLOW duplicate arriving within the
+    * watermark but more than `horizon` after its original finds that
+    * state expired and re-claims those bands (novel=true) — that is
+    * `dropDuplicatesWithinWatermark`'s contract (dedup guaranteed only
+    * within the delay window); size `horizon` to the corpus's real
+    * duplicate-arrival spread, and settle residual false-novels with
+    * the batch q22 Jaccard verifier downstream.
     */
   def bandClaimsStream(pages: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id", tsCol: String = "ts",
@@ -91,13 +102,23 @@ object EventStreams {
     // typed map, not Column HOFs: no persist barrier exists on a stream,
     // so CollapseProject would re-evaluate the simhash vote fold once
     // per band element (the q42 batch twin needed a barrier for this);
-    // the Scala twin computes it exactly once per document
+    // the Scala twin computes it exactly once per document. NULL text
+    // mirrors the batch twin's Column null semantics: NULL simhash →
+    // simhashBands yields 4 NULL elements → posexplode emits 4 rows
+    // with NULL band_val, so every NULL-text doc competes in the same
+    // four NULL buckets (first one claims them, the rest lose) — the
+    // stream emits those same rows via Option so the verdicts agree.
     pages
       .select(col(idCol).cast("long"), col(tsCol).cast("timestamp"), col(textCol))
       .as[(Long, java.sql.Timestamp, String)]
       .mapPartitions(_.flatMap { case (id, ts, text) =>
-        val sh = graft.queries.Dedup.simhashMixedScala(text)
-        (0 until 4).map(i => (id, ts, i, (sh >> (4 * i)) & 15L))
+        val bands: IndexedSeq[Option[Long]] =
+          if (text == null) IndexedSeq.fill(4)(None)
+          else {
+            val sh = graft.queries.Dedup.simhashMixedScala(text)
+            (0 until 4).map(i => Some((sh >> (4 * i)) & 15L))
+          }
+        bands.zipWithIndex.map { case (bv, i) => (id, ts, i, bv) }
       })
       .toDF(idCol, tsCol, "band_idx", "band_val")
       .withWatermark(tsCol, horizon)
@@ -120,6 +141,48 @@ object EventStreams {
       .join(claims.groupBy(idCol).agg(countDistinct(col("band_idx")).as("n")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("bands_claimed"))
       .withColumn("novel", col("bands_claimed") === totalBands)
+
+  /** Batch reconciliation for documents that arrived BEHIND the advanced
+    * watermark: their streamed verdicts are untrustworthy (see the
+    * lateness caveat on [[bandClaimsStream]] — a late dup of an
+    * expired original claims spuriously; a late doc may also be
+    * suppressed by surviving state). This pass recomputes their bands
+    * with the batch Column twin and awards each band iff (a) no claim
+    * by a NON-late document holds that (band_idx, band_val) key
+    * anywhere in the sink's history — the late docs' own spurious sink
+    * claims must not count, or a late unique would lose its bands to
+    * itself — and (b) the doc is the min-id late claimant of it, the
+    * same first-wins rule the stream applies. A late UNIQUE recovers
+    * novel=true; a late duplicate of ANY on-time doc (even one whose
+    * stream state expired long ago) lands novel=false. Returns claim
+    * rows shaped like the sink's; classify with [[classifyClaims]]
+    * over the late-doc universe. Null-safe band equality (<=>) so
+    * NULL-text late docs compete against the sink's NULL bands instead
+    * of slipping past them. Scale shape: the late set is small by
+    * construction (watermark stragglers); the anti-joins shuffle on
+    * doc id / band key — the claims sink side prunes to three small
+    * columns.
+    */
+  def reconcileLate(claims: DataFrame, lateDocs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import graft.queries.Dedup.{simhashMixedCol, simhashBands}
+    // persist barrier as in the batch q42 twin: stops CollapseProject
+    // from inlining the simhash vote fold once per band element
+    val sh = lateDocs
+      .select(col(idCol), simhashMixedCol(col(textCol)).as("simhash"))
+      .persist()
+    val lateBands = sh.select(col(idCol),
+      posexplode(simhashBands(col("simhash"))).as(Seq("band_idx", "band_val")))
+    val claimed = claims
+      .join(lateDocs.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col("band_idx").as("c_bi"), col("band_val").as("c_bv")).distinct()
+    val open = lateBands.join(claimed,
+      col("band_idx") <=> col("c_bi") && col("band_val") <=> col("c_bv"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")
+    open.withColumn("winner", min(col(idCol)).over(w))
+      .where(col(idCol) === col("winner"))
+      .select(col(idCol), col("band_idx"), col("band_val"))
+  }
 
   /** Custom session state via flatMapGroupsWithState: a user's session
     * closes after `gapMs` of inactivity — either when a later event

@@ -176,6 +176,115 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.exists(!_._3), "fixture should contain at least one band collision")
   }
 
+  test("NULL text: stream emits the batch twin's null-band rows and verdicts agree") {
+    import spark.implicits._
+    // docs 2 and 3 have NULL text: the batch twin's Column null
+    // propagation gives them NULL simhash → 4 NULL-band rows each, so
+    // they compete in the same four NULL buckets (2 claims them all,
+    // 3 loses all). The stream must produce those same verdicts — and
+    // must not NPE in the typed map (the r3 ADVICE finding).
+    val a = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val d = "another entirely distinct document about medieval castle architecture and fortification design"
+    val corpus = Seq((1L, Option(a)), (2L, Option.empty[String]),
+                     (3L, Option.empty[String]), (4L, Option(d)))
+    val corpusDir = java.nio.file.Files.createTempDirectory("null_corpus")
+    corpus.toDF("doc_id", "text").write.parquet(corpusDir.toString + "/documents.parquet")
+    val flat = java.nio.file.Files.createTempDirectory("null_stream")
+    corpus.zipWithIndex.foreach { case ((id, text), i) =>
+      val f = java.nio.file.Files.createTempDirectory("null_one")
+      Seq((id, text, (10L + i) * 60L)).toDF("doc_id", "text", "sec")
+        .select(col("doc_id"), col("text"), col("sec").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(f.toString + "/p")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$f/p"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"part$i%03d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = EventStreams.bandClaimsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("null_claims")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.awaitTermination(60000); q.stop()
+    val docsDf = corpus.map(_._1).toDF("doc_id")
+    val streamed = EventStreams.classifyClaims(spark.table("null_claims"), docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val batch = graft.queries.Dedup.q42BandClaims.fn(spark, corpusDir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"NULL-text verdicts diverged:\nstream=$streamed\nbatch =$batch")
+    assert(streamed.find(_._1 == 2L).exists(v => v._2 == 4L && v._3),
+      "first NULL-text doc should claim all four NULL bands")
+    assert(streamed.find(_._1 == 3L).exists(v => v._2 == 0L && !v._3),
+      "second NULL-text doc should lose every NULL band to the first")
+  }
+
+  test("late arrival past the watermark is dropped, and reconcileLate recovers it") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val c = "completely unrelated subject matter discussing numerical weather prediction models yesterday"
+    def writeFile(flat: java.nio.file.Path, i: Int, rows: Seq[(Long, String, Long)]): Unit = {
+      val f = java.nio.file.Files.createTempDirectory("late_one")
+      rows.toDF("doc_id", "text", "minute")
+        .select(col("doc_id"), col("text"), (col("minute") * 60L).cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(f.toString + "/p")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$f/p"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"part$i%03d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val flat = java.nio.file.Files.createTempDirectory("late_stream")
+    // batch 0: doc 1 at minute 10 claims its bands. batch 1: doc 2 at
+    // minute 60 (watermark computation lags one batch: runs at wm=0).
+    // batch 2: doc 5 at minute 61 runs at eviction-wm=50. batch 3:
+    // doc 3 (late UNIQUE) and doc 4 (late exact dup of doc 1) at
+    // minute 12 — the late-events filter (itself one batch behind
+    // eviction, hence the doc-5 spacer batch) now sits at wm=50, so
+    // BOTH late rows are dropped before the dedup state: zero claim
+    // rows, and the sink alone misclassifies the late unique doc 3 as
+    // novel=false.
+    writeFile(flat, 0, Seq((1L, a, 10L)))
+    writeFile(flat, 1, Seq((2L, "fresh on-time document about deep sea exploration and hydrothermal vents", 60L)))
+    writeFile(flat, 2, Seq((5L, "a fifth entirely separate page describing alpine railway tunnel construction techniques", 61L)))
+    writeFile(flat, 3, Seq((3L, c, 12L), (4L, a, 12L)))
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = EventStreams.bandClaimsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_claims")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.awaitTermination(60000); q.stop()
+    val claims = spark.table("late_claims")
+    // the hazard the caveat documents: both late docs dropped before
+    // the state, so the late UNIQUE doc 3 reads as a dup in the sink
+    assert(claims.where(col("doc_id").isin(3L, 4L)).count() == 0,
+      s"late rows not dropped; sink=${claims.collect().toSeq.sortBy(_.getLong(0))}")
+    val naive = EventStreams.classifyClaims(claims, Seq(3L, 4L).toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(naive == Map(3L -> false, 4L -> false))
+    // the documented routing: docs flagged late at ingest (event time ≤
+    // watermark on arrival) are re-judged against the full claims
+    // history, overriding their streamed verdicts
+    val lateDocs = Seq((3L, c), (4L, a)).toDF("doc_id", "text")
+    val lateClaims = EventStreams.reconcileLate(claims, lateDocs)
+    val recovered = EventStreams.classifyClaims(lateClaims, lateDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    // doc 3 is genuinely novel (its bands appear nowhere else in the
+    // history); doc 4 duplicates on-time doc 1, whose sink rows still
+    // hold those bands → novel=false, the verdict the stream got wrong
+    assert(recovered == Seq((3L, 4L, true), (4L, 0L, false)),
+      s"reconciliation verdicts wrong: $recovered")
+  }
+
   test("streaming exact dedup: first content-hash arrival wins across batches") {
     import spark.implicits._
     // two parquet files → two triggers; duplicates appear both inside a
