@@ -158,17 +158,18 @@ object ScalingBench {
     (gops(hi) / gops(lo)) / (hi.toDouble / lo)
   }
 
-  /** One interleaved round: probe, lo once, hi `hiSamples` times (best
-    * kept). The hi run is ~4× shorter, so a host burst erases a larger
-    * fraction of it — sampling hi more often per round equalizes the two
-    * levels' exposure to noise instead of letting the short run carry
-    * the whole round. */
-  def round(lo: Int, hi: Int, nPages: Long, hiSamples: Int = 2): Round = {
+  /** One interleaved round: probe, then BOTH levels sampled twice with
+    * the best kept. The hi run is ~4× shorter, so a host burst erases a
+    * larger fraction of it — but r3's run 15 showed the converse too: a
+    * burst eating the SINGLE lo sample of a round printed a nonsense
+    * 10.16 paired ratio. Best-of-2 at both levels gives each the same
+    * defense (the r3-verdict bench-hygiene item). */
+  def round(lo: Int, hi: Int, nPages: Long, samples: Int = 2): Round = {
     val c = cpuProbe(lo, hi)
-    val loRun = runAt(lo, nPages)
-    val hiRuns = (1 to hiSamples).map(_ => runAt(hi, nPages))
-    require(hiRuns.map(_.outputDigest).distinct.length == 1)
-    Round(loRun, hiRuns.maxBy(_.docsPerSec), c)
+    val loRuns = (1 to samples).map(_ => runAt(lo, nPages))
+    val hiRuns = (1 to samples).map(_ => runAt(hi, nPages))
+    require((loRuns ++ hiRuns).map(_.outputDigest).distinct.length == 1)
+    Round(loRuns.maxBy(_.docsPerSec), hiRuns.maxBy(_.docsPerSec), c)
   }
 
   def main(args: Array[String]): Unit = {
@@ -208,7 +209,19 @@ object ScalingBench {
       def efficiency: Double = (hiBest / loBest) / (hi.toDouble / lo)
       def perRound: Seq[Double] = rounds.map(r => (r._3 / r._2) / (hi.toDouble / lo))
       def ceiling: Double = median(rounds.map(_._1))
+      /** Paired ratios with burst artifacts excluded: a ratio beyond
+        * SaneRatioCap means a burst ate one side's sample (run 15's
+        * 10.16 came from one degraded lo run), not that 8→32 scaled
+        * superlinearly — such rounds are marked in the table and kept
+        * out of every best-of list. */
+      def perRoundSane: Seq[Double] = perRound.filter(_ <= SaneRatioCap)
+      def bestSane: Double = if (perRoundSane.nonEmpty) perRoundSane.max else perRound.min
     }
+
+    /** No genuine matched-window 8→32 ratio on one host exceeds this:
+      * the probe ceiling itself never measured above ~1.0, so anything
+      * past 1.2 is a one-sided burst artifact. */
+    val SaneRatioCap = 1.2
 
     private val runsDir = Paths.get("BENCH/scaling_runs")
 
@@ -282,6 +295,7 @@ object ScalingBench {
         if (runs.length < 2) 0.0 else (effs.max - effs.min) / effs.max * 100.0
       // assembled WITHOUT stripMargin: these lines embed in the outer
       // stripMargin'd template, which would eat the tables' leading '|'
+      val anyInsane = runs.exists(r => r.perRound.exists(_ > SaneRatioCap))
       val runTables = runs.zipWithIndex.map { case (r, ri) =>
         (Seq(
           s"## Run ${ri + 1} (${r.rounds.length} interleaved rounds)",
@@ -289,12 +303,13 @@ object ScalingBench {
           s"| round | cpu probe $lo→$hi | docs/s @$lo | docs/s @$hi | paired eff |",
           "|---|---|---|---|---|") ++
          r.rounds.zipWithIndex.map { case ((c, l, h), i) =>
-           f"| ${i + 1} | $c%.3f | $l%.0f | $h%.0f | ${r.perRound(i)}%.3f |"
+           val mark = if (r.perRound(i) > SaneRatioCap) " †" else ""
+           f"| ${i + 1} | $c%.3f | $l%.0f | $h%.0f | ${r.perRound(i)}%.3f$mark |"
          } ++
          Seq(
            "",
            f"- best-of: $lo→$hi ${r.loBest}%.0f → ${r.hiBest}%.0f docs/s → **efficiency ${r.efficiency}%.3f**",
-           f"- paired efficiency (same noise window): median ${median(r.perRound)}%.3f, best ${r.perRound.max}%.3f;",
+           f"- paired efficiency (same noise window): median ${median(r.perRound)}%.3f, best ${r.bestSane}%.3f;",
            f"  probe ceiling ${r.ceiling}%.3f; normalized ${r.efficiency / r.ceiling}%.3f; output byte-identical: ${r.identical}",
            "")).mkString("\n")
       }.mkString("\n")
@@ -306,8 +321,14 @@ object ScalingBench {
             f"- independent-run agreement: best-of efficiencies ${effs.map(e => f"$e%.3f").mkString(", ")}",
             f"  → relative spread $spreadPct%.1f%% (target ≤ ~15%%); medians of paired rounds:",
             s"  ${runs.map(r => f"${median(r.perRound)}%.3f").mkString(", ")}",
-            s"  best matched-window rounds: ${runs.map(r => f"${r.perRound.max}%.3f").mkString(", ")}",
-            s"- runs meeting the gate (raw ≥ 0.8 OR normalized ≥ 0.85): **$gatePassed of ${runs.length}**")
+            s"  best matched-window rounds: ${runs.map(r => f"${r.bestSane}%.3f").mkString(", ")}",
+            s"- runs meeting the gate (raw ≥ 0.8 OR normalized ≥ 0.85): **$gatePassed of ${runs.length}**") ++
+          (if (anyInsane) Seq(
+            f"- † paired ratio above ${SaneRatioCap}%.1f: a host burst ate one side's sample",
+            "  (run 15 round 1's lone local[8] run) — marked rounds are excluded",
+            "  from the best-matched-window list; since run 17 BOTH levels are",
+            "  sampled best-of-2 per round so a single burst cannot do this.")
+           else Seq.empty)
         }
       val md = (Seq(
         "# BENCH — scaling evidence (north rule)",
@@ -318,10 +339,12 @@ object ScalingBench {
         "the sandbox stand-in for N vs 4N executors (BASELINE.json",
         "north_rule). Each INVOCATION below is an independent JVM run of",
         "interleaved rounds; each round samples a pure-CPU scaling probe in",
-        "the same noise window, then lo once, then hi twice keeping the best",
-        "(the hi run is ~4× shorter, so it gets proportionally more samples",
-        "of this host's bursty noise). Runs accumulate in BENCH/scaling_runs/",
+        "the same noise window, then each level twice keeping the best",
+        "(runs 1-16 sampled lo only once — the hygiene gap behind run 15's",
+        "† artifact). Runs accumulate in BENCH/scaling_runs/",
         "so stability across invocations is visible, not asserted.",
+        "Multi-JVM (separate-executor-process) evidence for the same",
+        "rule is in BENCH/CLUSTER.md.",
         "",
         runTables,
         "## Across runs",
@@ -348,7 +371,7 @@ object ScalingBench {
         s"Generated by `graft.bench.ScalingBench $nPages $lo $hi ${latest.rounds.length}`.",
         "")).mkString("\n")
       val json =
-        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"best_paired_efficiency":${latest.perRound.max}%.3f,"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"gate_runs_passed":$gatePassed,"spread_pct":$spreadPct%.1f}"""
+        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"best_paired_efficiency":${latest.bestSane}%.3f,"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"gate_runs_passed":$gatePassed,"spread_pct":$spreadPct%.1f}"""
       Out(md, json, latestIdentical, latest.efficiency, latest.ceiling)
     }
 

@@ -82,20 +82,46 @@ object ExtractQueries {
     None
   )
 
-  /** Span detail stream: every span with offsets (north-rule unit). */
+  /** Span detail with offsets (north-rule unit), under the oracle gate:
+    * each document's text is wrapped with a doc-derived inline math
+    * element, so the extracted markdown is the normalized text plus one
+    * deterministic `\(x_{id}=1\)` span whose (start, end) offsets are
+    * pure arithmetic over the normalized text length — DuckDB predicts
+    * the whole span row, so tokenizer, math normalization, serializer
+    * spacing, and offset bookkeeping are all gated bit-exactly.
+    * (Offsets are Java UTF-16 units vs DuckDB codepoints — identical
+    * here because the corpus is ASCII; the extraction ingest's
+    * control-char strip keeps it in that contract.) The generator-
+    * corpus span stream this replaced stays exercised through
+    * qx_extract_corpus's span aggregates and the byte-golden suite.
+    */
   val qxExtractSpans = QueryDef(
     "qx_extract_spans",
     (s, dir) => {
       import s.implicits._
-      SyntheticCorpus.generate(s, corpusSize(dir))
-        .mapPartitions(Extractor.run(_))
-        .filter(col("ok"))
-        .select(col("url"), explode(col("spans")).as("sp"))
-        .select(col("url"), col("sp.kind").as("kind"), col("sp.id").as("id"),
-                col("sp.start").as("start"), col("sp.end").as("end"))
-        .orderBy("url", "start")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val html = wrapPrefix + text +
+            s" <math alttext=\"x_{$id}=1\"></math>" + wrapSuffix
+          (id, Extractor.extractHtml(id.toString, html))
+        })
+        .flatMap { case (id, d) =>
+          d.spans.map(sp => (id, sp.kind, sp.id, sp.start, sp.end))
+        }
+        .toDF("doc_id", "kind", "id", "start", "end")
+        .orderBy("doc_id", "start")
     },
-    None
+    Some("""
+      WITH n AS (SELECT doc_id,
+                        regexp_replace(trim(text), ' {2,}', ' ', 'g') AS nt
+                 FROM documents)
+      SELECT doc_id, 'math_inline' AS kind, 'eq-1' AS id,
+             CAST(len(nt) + 1 AS INT) AS start,
+             CAST(len(nt) + 11 + len(CAST(doc_id AS VARCHAR)) AS INT) AS "end"
+      FROM n ORDER BY doc_id, start
+    """.trim)
   )
 
   /** Per-document markdown fingerprints over the synthetic corpus — the

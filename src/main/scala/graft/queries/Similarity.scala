@@ -958,17 +958,33 @@ object Similarity {
       .persist()
   }
 
-  private val LshBits = 6
+  /** Data-derived LSH width: the smallest b with 2^b ≥ ⌈√n⌉, so the
+    * bucket count tracks the corpus (target bucket population ≈ √n,
+    * the same balance point IVF uses for its cell count) instead of
+    * the r3 constant 6 that stopped partitioning at any real scale.
+    * Pure integer logic — no floating log2 whose boundary rounding
+    * could diverge between engines; capped at 20 bits (1M buckets:
+    * past that the Hamming-1 probe list is the thing to grow, not the
+    * plane count).
+    */
+  private[queries] def lshBits(n: Long): Int = {
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    (1 to 20).find(b => (1L << b) >= k).getOrElse(20)
+  }
 
   /** The LSH bucket/probe CTE chain — the SQL twin of [[assignedLsh]]
-    * (shared by the q50 and q51 oracles). */
-  private def lshAssignSql(bits: Int): String = s"""
+    * with [[lshBits]] replayed in SQL (shared by the q50 and q51
+    * oracles). */
+  private def lshAssignSql: String = s"""
+      nb AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+      bb AS (SELECT min(b) AS bits FROM range(1, 21) t(b), nb
+             WHERE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) >= k),
       dm AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
       hp AS (SELECT j, list_transform(range(0, dim),
                       i -> CAST(((((j * 131071 + i + 1) * 2654435761) % 1000003)
                                * (((j * 131071 + i + 1) * 2654435761) % 1000003)) % 1000003 AS DOUBLE)
                            / 1000003.0 - 0.5) AS h
-             FROM range(0, $bits) t(j), dm),
+             FROM range(0, 20) t(j), bb, dm WHERE j < bits),
       dots AS (SELECT e.vec_id, hp.j,
                  round(list_sum(list_transform(generate_series(1, len(e.embedding)),
                    i -> CAST(e.embedding[i] AS DOUBLE) * hp.h[i])), 6) AS d
@@ -980,36 +996,48 @@ object Similarity {
       probes AS (SELECT vec_id, bucket AS cell FROM bk
                  UNION ALL
                  SELECT bk.vec_id, xor(bk.bucket, CAST(1 AS BIGINT) << CAST(t.j AS INTEGER)) AS cell
-                 FROM bk CROSS JOIN range(0, $bits) t(j))""".trim
+                 FROM bk CROSS JOIN range(0, 20) t(j), bb WHERE t.j < bits)""".trim
 
   /** LSH bucket assignment under the oracle gate: the brief's
-    * "LSH-bucketed variant" of ANN as a first-class path beside IVF. */
+    * "LSH-bucketed variant" of ANN as a first-class path beside IVF,
+    * at the data-derived [[lshBits]] width. */
   val q50LshAnnAssign = QueryDef(
     "q50_lsh_ann_assign",
-    (s, dir) =>
-      assignedLsh(s.read.parquet(s"$dir/embeddings.parquet"), LshBits)
+    (s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      assignedLsh(e, lshBits(e.count()))
         .select(col("vec_id"), col("home").as("bucket"))
-        .orderBy("vec_id"),
+        .orderBy("vec_id")
+    },
     Some(s"""
-      WITH ${lshAssignSql(LshBits)}
+      WITH $lshAssignSql
       SELECT vec_id, cell AS bucket FROM home ORDER BY vec_id
     """.trim)
   )
 
   /** recall@5 of the multiprobe LSH path against the exact baseline —
     * measured beside q39 (untrained IVF) and q40 (trained IVF) so the
-    * two scale paths are comparable on the same data and harness.
-    * Measured at sf0.01: 0.24 (all 64 buckets occupied, 7 probed ≈ 11%
-    * of the corpus scanned) vs 0.32 untrained-IVF probe-1 and 0.84
-    * trained probe-3 — the measured case for IVF as the primary path,
-    * with LSH as the training-free alternative.
+    * two scale paths are comparable on the same data and harness, at
+    * the data-derived [[lshBits]] width (bits+1 probed buckets of
+    * ~2^bits ≈ √n, so the scan fraction ~ log₂(√n)/√n falls as the
+    * corpus grows — the partitioning keeps partitioning). Measured on
+    * the directionally-uniform synthetic corpus (see the q49 doc):
+    * sf0.01 (5 bits, 6/32 buckets probed, ~19% scanned) recall 0.28;
+    * sf0.1 (6 bits, 7/64 probed, ~11% scanned) recall 0.27 — in the
+    * same band as trained IVF at matched scan fractions (probe-3 ≈
+    * 13% → 0.44 at sf0.01; probe-5 ≈ 11% → 0.47 at sf0.1; IVF's edge
+    * is its trained cells), which is the theory: with no cluster
+    * structure every partition-ANN's recall is set by its scan
+    * fraction — and LSH needs no training pass.
     */
   val q51LshAnnRecall = QueryDef(
     "q51_lsh_ann_recall",
-    (s, dir) =>
-      recallFromAssigned(assignedLsh(s.read.parquet(s"$dir/embeddings.parquet"), LshBits)),
+    (s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      recallFromAssigned(assignedLsh(e, lshBits(e.count())))
+    },
     Some(s"""
-      WITH ${lshAssignSql(LshBits)},
+      WITH $lshAssignSql,
       $recallTailSql
     """.trim)
   )
