@@ -41,7 +41,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs dump only the matching oracles, so check_oracle.py
+    // gates exactly what was run instead of flooding "no spark output"
     val json = SparkEntry.oracleSql
+      .filter(o => only.isEmpty || only(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * Separate executor JVMs also load the application jar on their own
   * classpath, which removes the documented sbt-classloader Janino
   * fallback (CLAUDE.md): this run doubles as the proof that generated
-  * code compiles clean outside sbt — the driver asserts zero
-  * CompileException warnings after the timed job.
+  * code compiles clean outside sbt — tools/cluster_bench.sh greps the
+  * EXECUTOR stderr logs (under the standalone worker's work/
+  * directory, where executor-side fallbacks actually land — the
+  * driver's own stderr would miss them) and fails the run on any
+  * CompileException.
   *
   * Usage (the corpus must be pre-materialized by ScalingBench):
   * {{{
@@ -52,18 +55,13 @@ object ClusterBench {
     // raw hi-level ratio saturates this host's memory bus either way
     val ceiling = ScalingBench.cpuProbe(8, 32)
 
-    val t0 = System.nanoTime()
-    val agg = spark.read.parquet(path).as[graft.core.PageRow]
-      .mapPartitions(graft.extract.Extractor.run(_))
-      .select($"url", $"markdown")
-      .selectExpr(
-        "count(*) AS n",
-        "sum(cast(xxhash64(url, markdown) AS DECIMAL(38,0))) AS digest")
-      .collect()(0)
-    val wall = (System.nanoTime() - t0) / 1e9
-    val digest = agg.getDecimal(1).toBigInteger.toString(16) + ":" + agg.getLong(0)
-    // single greppable result line on stdout
-    println(f"""CLUSTERBENCH {"executors":$execs,"pages":$pages,"wall_sec":$wall%.2f,"docs_per_sec":${pages / wall}%.1f,"cpu_ceiling_8_32":$ceiling%.3f,"digest":"$digest"}""")
+    // the SAME timed job as the thread-mode ScalingBench — shared code,
+    // so the two documents' digests and rates can never drift apart
+    val (wall, n, digest) = ScalingBench.timedPass(spark, path)
+    if (n != pages)
+      System.err.println(s"CLUSTERBENCH WARNING: corpus has $n rows, arg said $pages — rate uses the measured count")
+    // single greppable result line on stdout; rate over the MEASURED count
+    println(f"""CLUSTERBENCH {"executors":$execs,"pages":$n,"wall_sec":$wall%.2f,"docs_per_sec":${n / wall}%.1f,"cpu_ceiling_8_32":$ceiling%.3f,"digest":"$digest"}""")
     spark.stop()
   }
 }

@@ -111,6 +111,31 @@ object ScalingBench {
     s
   }
 
+  /** The timed production-path pass (parquet scan → extract → digest),
+    * shared by thread-mode [[runAt]] and the multi-JVM
+    * [[ClusterBench]] so the two documents' digests and rates can
+    * never drift apart. Returns (wallSec, measured row count, digest).
+    * The digest is a single deterministic value over the whole output:
+    * an order-insensitive SUM of per-row xxhash64 — cheap, partition-
+    * independent, and strong enough that any per-row content change
+    * shifts the total.
+    */
+  def timedPass(spark: SparkSession, path: String): (Double, Long, String) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val agg = spark.read.parquet(path).as[graft.core.PageRow]
+      .mapPartitions(graft.extract.Extractor.run(_))
+      .select($"url", $"markdown")
+      .selectExpr(
+        "count(*) AS n",
+        // DECIMAL(38,0) sum: exact and overflow-free under ANSI mode
+        "sum(cast(xxhash64(url, markdown) AS DECIMAL(38,0))) AS digest")
+      .collect()(0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    (wall, agg.getLong(0),
+      agg.getDecimal(1).toBigInteger.toString(16) + ":" + agg.getLong(0))
+  }
+
   def runAt(cores: Int, nPages: Long): RunResult = {
     val path = corpusPath(nPages)
     val spark = session(cores, s"graft-scaling-$cores")
@@ -122,22 +147,10 @@ object ScalingBench {
     spark.read.parquet(path).limit(20000).as[graft.core.PageRow]
       .mapPartitions(graft.extract.Extractor.run(_)).filter(_.ok).count()
 
-    val t0 = System.nanoTime()
-    val out = spark.read.parquet(path).as[graft.core.PageRow]
-      .mapPartitions(graft.extract.Extractor.run(_))
-      .select($"url", $"markdown")
-    // single deterministic digest over the whole output: order-insensitive
-    // SUM of per-row xxhash64 — cheap, partition-independent, and strong
-    // enough that any per-row content change shifts the total
-    val agg = out.selectExpr(
-      "count(*) AS n",
-      // DECIMAL(38,0) sum: exact and overflow-free under ANSI mode
-      "sum(cast(xxhash64(url, markdown) AS DECIMAL(38,0))) AS digest")
-      .collect()(0)
-    val wall = (System.nanoTime() - t0) / 1e9
-    val digest = agg.getDecimal(1).toBigInteger.toString(16) + ":" + agg.getLong(0)
+    val (wall, n, digest) = timedPass(spark, path)
     spark.stop()
-    RunResult(cores, nPages, wall, nPages / wall, digest)
+    // rate over the MEASURED row count, not the requested page count
+    RunResult(cores, nPages, wall, n / wall, digest)
   }
 
   /** Pure-CPU thread-scaling probe (one sample, ~1 s per level): how well
@@ -215,7 +228,11 @@ object ScalingBench {
         * superlinearly — such rounds are marked in the table and kept
         * out of every best-of list. */
       def perRoundSane: Seq[Double] = perRound.filter(_ <= SaneRatioCap)
-      def bestSane: Double = if (perRoundSane.nonEmpty) perRoundSane.max else perRound.min
+      /** None when EVERY round is a burst artifact — the renderers must
+        * mark that, never publish an insane ratio as a best. */
+      def bestSaneOpt: Option[Double] = perRoundSane.maxOption
+      def bestSaneStr: String =
+        bestSaneOpt.map(b => f"$b%.3f").getOrElse(f"${perRound.min}%.3f †")
     }
 
     /** No genuine matched-window 8→32 ratio on one host exceeds this:
@@ -309,7 +326,7 @@ object ScalingBench {
          Seq(
            "",
            f"- best-of: $lo→$hi ${r.loBest}%.0f → ${r.hiBest}%.0f docs/s → **efficiency ${r.efficiency}%.3f**",
-           f"- paired efficiency (same noise window): median ${median(r.perRound)}%.3f, best ${r.bestSane}%.3f;",
+           f"- paired efficiency (same noise window): median ${median(r.perRound)}%.3f, best ${r.bestSaneStr};",
            f"  probe ceiling ${r.ceiling}%.3f; normalized ${r.efficiency / r.ceiling}%.3f; output byte-identical: ${r.identical}",
            "")).mkString("\n")
       }.mkString("\n")
@@ -321,7 +338,7 @@ object ScalingBench {
             f"- independent-run agreement: best-of efficiencies ${effs.map(e => f"$e%.3f").mkString(", ")}",
             f"  → relative spread $spreadPct%.1f%% (target ≤ ~15%%); medians of paired rounds:",
             s"  ${runs.map(r => f"${median(r.perRound)}%.3f").mkString(", ")}",
-            s"  best matched-window rounds: ${runs.map(r => f"${r.bestSane}%.3f").mkString(", ")}",
+            s"  best matched-window rounds: ${runs.map(_.bestSaneStr).mkString(", ")}",
             s"- runs meeting the gate (raw ≥ 0.8 OR normalized ≥ 0.85): **$gatePassed of ${runs.length}**") ++
           (if (anyInsane) Seq(
             f"- † paired ratio above ${SaneRatioCap}%.1f: a host burst ate one side's sample",
@@ -371,7 +388,7 @@ object ScalingBench {
         s"Generated by `graft.bench.ScalingBench $nPages $lo $hi ${latest.rounds.length}`.",
         "")).mkString("\n")
       val json =
-        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"best_paired_efficiency":${latest.bestSane}%.3f,"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"gate_runs_passed":$gatePassed,"spread_pct":$spreadPct%.1f}"""
+        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"best_paired_efficiency":${latest.bestSaneOpt.getOrElse(latest.perRound.min)}%.3f,"best_paired_is_artifact":${latest.bestSaneOpt.isEmpty},"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"gate_runs_passed":$gatePassed,"spread_pct":$spreadPct%.1f}"""
       Out(md, json, latestIdentical, latest.efficiency, latest.ceiling)
     }
 

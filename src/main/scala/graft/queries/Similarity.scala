@@ -698,7 +698,7 @@ object Similarity {
                                sqrt(list_sum(list_transform(embedding,
                                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
                         FROM embeddings)),
-      nn AS (SELECT LEAST(CAST(ceil(sqrt(count(*))) AS BIGINT), 4096) AS k FROM embeddings),
+      nn AS (SELECT LEAST(CAST(ceil(sqrt(count(*))) AS BIGINT), $MaxBroadcastCells) AS k FROM embeddings),
       cb0 AS (SELECT vec_id AS cid, ne AS ce FROM en, nn WHERE vec_id < k),
       ${(1 to 3).map(lloydRoundSql).mkString(",\n      ")},
       d4 AS (SELECT e.vec_id, c.cid,
@@ -967,9 +967,15 @@ object Similarity {
     * past that the Hamming-1 probe list is the thing to grow, not the
     * plane count).
     */
+  /** Cap on the hyperplane count (2^20 = 1M buckets: past that the
+    * Hamming-1 probe list is the thing to grow, not the plane count).
+    * Interpolated into the oracle SQL so the two engines can never
+    * disagree on the cap. */
+  private[queries] val MaxLshBits = 20
+
   private[queries] def lshBits(n: Long): Int = {
     val k = math.ceil(math.sqrt(n.toDouble)).toLong
-    (1 to 20).find(b => (1L << b) >= k).getOrElse(20)
+    (1 to MaxLshBits).find(b => (1L << b) >= k).getOrElse(MaxLshBits)
   }
 
   /** The LSH bucket/probe CTE chain — the SQL twin of [[assignedLsh]]
@@ -977,14 +983,14 @@ object Similarity {
     * oracles). */
   private def lshAssignSql: String = s"""
       nb AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-      bb AS (SELECT min(b) AS bits FROM range(1, 21) t(b), nb
+      bb AS (SELECT coalesce(min(b), $MaxLshBits) AS bits FROM range(1, ${MaxLshBits + 1}) t(b), nb
              WHERE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) >= k),
       dm AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
       hp AS (SELECT j, list_transform(range(0, dim),
                       i -> CAST(((((j * 131071 + i + 1) * 2654435761) % 1000003)
                                * (((j * 131071 + i + 1) * 2654435761) % 1000003)) % 1000003 AS DOUBLE)
                            / 1000003.0 - 0.5) AS h
-             FROM range(0, 20) t(j), bb, dm WHERE j < bits),
+             FROM range(0, $MaxLshBits) t(j), bb, dm WHERE j < bits),
       dots AS (SELECT e.vec_id, hp.j,
                  round(list_sum(list_transform(generate_series(1, len(e.embedding)),
                    i -> CAST(e.embedding[i] AS DOUBLE) * hp.h[i])), 6) AS d
@@ -996,7 +1002,7 @@ object Similarity {
       probes AS (SELECT vec_id, bucket AS cell FROM bk
                  UNION ALL
                  SELECT bk.vec_id, xor(bk.bucket, CAST(1 AS BIGINT) << CAST(t.j AS INTEGER)) AS cell
-                 FROM bk CROSS JOIN range(0, 20) t(j), bb WHERE t.j < bits)""".trim
+                 FROM bk CROSS JOIN range(0, $MaxLshBits) t(j), bb WHERE t.j < bits)""".trim
 
   /** LSH bucket assignment under the oracle gate: the brief's
     * "LSH-bucketed variant" of ANN as a first-class path beside IVF,

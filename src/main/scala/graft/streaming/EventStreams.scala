@@ -147,7 +147,7 @@ object EventStreams {
     * lateness caveat on [[bandClaimsStream]] — a late dup of an
     * expired original claims spuriously; a late doc may also be
     * suppressed by surviving state). This pass recomputes their bands
-    * with the batch Column twin and awards each band iff (a) no claim
+    * with the integer-exact Scala twin and awards each band iff (a) no claim
     * by a NON-late document holds that (band_idx, band_val) key
     * anywhere in the sink's history — the late docs' own spurious sink
     * claims must not count, or a late unique would lose its bands to
@@ -165,14 +165,26 @@ object EventStreams {
     */
   def reconcileLate(claims: DataFrame, lateDocs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    import graft.queries.Dedup.{simhashMixedCol, simhashBands}
-    // persist barrier as in the batch q42 twin: stops CollapseProject
-    // from inlining the simhash vote fold once per band element
-    val sh = lateDocs
-      .select(col(idCol), simhashMixedCol(col(textCol)).as("simhash"))
-      .persist()
-    val lateBands = sh.select(col(idCol),
-      posexplode(simhashBands(col("simhash"))).as(Seq("band_idx", "band_val")))
+    val spark = lateDocs.sparkSession
+    import spark.implicits._
+    // the typed Scala twin, exactly as the stream computes bands: one
+    // simhash evaluation per doc with no persist barrier needed (a
+    // Column-HOF version would need a .persist() that a repeatedly-
+    // called reconciliation pass would leak), and the stream's NULL
+    // semantics (4 NULL-band rows) for free
+    val lateBands = lateDocs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val bands: IndexedSeq[Option[Long]] =
+          if (text == null) IndexedSeq.fill(4)(None)
+          else {
+            val sh = graft.queries.Dedup.simhashMixedScala(text)
+            (0 until 4).map(i => Some((sh >> (4 * i)) & 15L))
+          }
+        bands.zipWithIndex.map { case (bv, i) => (id, i, bv) }
+      })
+      .toDF(idCol, "band_idx", "band_val")
     val claimed = claims
       .join(lateDocs.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col("band_idx").as("c_bi"), col("band_val").as("c_bv")).distinct()

@@ -15,16 +15,26 @@ PAGES=$2
 ROUNDS=${3:-3}
 OUT=/tmp/cluster_bench_results.txt
 : > "$OUT"
+# executor JVM logs land under the standalone worker's work dir — the
+# driver stderr would NOT show executor-side Janino fallbacks
+WORKDIR=/opt/spark/work
+MARKER=$(mktemp)
 for r in $(seq 1 "$ROUNDS"); do
   for SIZE in "2,4,3072" "8,4,3072"; do
-    LOG="/tmp/cluster_err_${r}_${SIZE//,/‗}.log"
+    LOG="/tmp/cluster_err_${r}_${SIZE//,/_}.log"
     /opt/spark/bin/spark-submit --master "local-cluster[$SIZE]" \
       --driver-memory 4g \
       --class graft.bench.ClusterBench "$JAR" "$CORPUS" "$PAGES" \
       2>"$LOG" | grep CLUSTERBENCH | sed "s/^/round=$r size=[$SIZE] /" | tee -a "$OUT"
-    if grep -q "CompileException" "$LOG"; then
-      echo "CODEGEN FALLBACK DETECTED in $LOG" | tee -a "$OUT"
-    fi
   done
 done
-echo "--- results in $OUT; codegen clean unless flagged above"
+# codegen gate: grep every executor stderr written during THIS run
+FALLBACKS=$(find "$WORKDIR" -name stderr -newer "$MARKER" 2>/dev/null \
+  | xargs -r grep -l "CompileException" || true)
+rm -f "$MARKER"
+if [ -n "$FALLBACKS" ]; then
+  echo "CODEGEN FALLBACK DETECTED in executor logs:" | tee -a "$OUT"
+  echo "$FALLBACKS" | tee -a "$OUT"
+  exit 3
+fi
+echo "--- results in $OUT; executor-log codegen gate passed (no CompileException)"
