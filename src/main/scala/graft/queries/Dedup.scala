@@ -453,7 +453,137 @@ object Dedup {
     """.trim)
   )
 
+  /** Window width for duplicated-substring detection: long enough that
+    * a shared window is memorization-grade duplication, short enough
+    * that boilerplate sentences still register (Lee et al. 2022 use 50
+    * BPE tokens; 16 whitespace words is the same order of text). */
+  private[queries] val SubK = 16
+  private val SubP = 1000003L
+
+  /** B^(SubK-1-j) mod P for j = 0..SubK-1 — the polynomial weights of
+    * the order-sensitive window hash, computed once and interpolated
+    * into BOTH engines' arithmetic so they cannot diverge. */
+  private val SubPows: IndexedSeq[Long] = {
+    val B = 131L
+    val arr = new Array[Long](SubK)
+    arr(SubK - 1) = 1L
+    var j = SubK - 2
+    while (j >= 0) { arr(j) = arr(j + 1) * B % SubP; j -= 1 }
+    arr.toIndexedSeq
+  }
+
+  /** All SubK-token window hashes of a text, in document order — the
+    * integer-exact core shared by the batch q52 operator and the
+    * streaming window-claim filter (EventStreams.windowClaimsStream).
+    * NULL/short texts yield no windows. */
+  private[graft] def windowHashesScala(text: String): Array[Long] = {
+    val toks = if (text == null) Array.empty[String] else TextOps.tokensScala(text)
+    val n = toks.length
+    if (n < SubK) Array.empty
+    else {
+      val f = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val w = toks(i)
+        f(i) = (31L * w.length + (if (w.isEmpty) 0L else w.codePointAt(0).toLong)) % SubP
+        i += 1
+      }
+      Array.tabulate(n - SubK + 1) { p =>
+        var h = 0L
+        var j = 0
+        while (j < SubK) { h += f(p + j) * SubPows(j); j += 1 }
+        h % SubP
+      }
+    }
+  }
+
+  /** Duplicated-SUBSTRING detection — the training-data dedup family
+    * document-level near-dup (MinHash/SimHash) cannot see: two mostly
+    * different documents sharing one verbatim boilerplate passage
+    * (licence block, navigation stub, copied paragraph). Every SubK-
+    * token window gets an order-sensitive polynomial hash of the
+    * engine-agnostic word features (Rabin-Karp form; computed
+    * windowwise here — the incremental O(n) rolling recurrence yields
+    * the same values and is the shape for very long documents); a
+    * window whose hash also appears in ANOTHER document marks
+    * cross-document duplication, reported per doc as a duplicated-
+    * window fraction. Inspired by Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (2022) — their suffix-array
+    * exactness traded for the hash-window form that fits a relational
+    * engine (false-positive rate ≈ n_windows²/2P, the standard
+    * Rabin-Karp trade, settled downstream by a verbatim check on the
+    * flagged spans exactly as q22 verifies LSH candidates).
+    *
+    * Scale shape: one typed map emits (doc_id, h) per window — rows ≈
+    * token count, the same explosion MinHash shingling pays — then a
+    * single lineage: partial-aggregated compaction to (h, doc_id,
+    * count), a count window over h for the sharing-doc count, and the
+    * per-doc rollup. One corpus scan, three shuffles of the COMPACT
+    * form, no self-join, no persist (hash keys are uniform by
+    * construction, so no skew). At 100 TB the standard refinement is
+    * a bloom-filter pre-pass over singleton hashes so only repeated
+    * windows reach the shuffle.
+    */
+  val q52DupSubstrings = QueryDef(
+    "q52_dup_substrings",
+    (s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val shingles = docs
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          windowHashesScala(text).iterator.map(h => (id, h))
+        })
+        .toDF("doc_id", "h")
+      // single-lineage shape: compact to one row per (h, doc) with its
+      // instance count (map-side combine soaks up self-repeats), then a
+      // count window over h gives each row the number of DISTINCT docs
+      // sharing the hash — the corpus is scanned and shingled ONCE
+      // (asserted by PlanAuditSpec). The tempting
+      // shingles.join(shingles.groupBy(h)...) self-join reads and
+      // extracts every document twice: column pruning makes the two
+      // branches non-identical, so Catalyst cannot ReusedExchange them.
+      val perKey = shingles.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+      val perDoc = perKey
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_windows"),
+          sum(when(col("nd") > 1, col("c")).otherwise(0L)).as("n_dup_windows"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(round(col("n_dup_windows") / col("n_windows"), 6), lit(0.0)).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      fl AS (SELECT doc_id,
+                    list_transform(toks, w -> (length(w) * 31 + ascii(substring(w, 1, 1))) % $SubP) AS fs,
+                    len(toks) AS n
+             FROM t),
+      pos AS (SELECT doc_id, fs, unnest(generate_series(1, n - ${SubK - 1})) AS i
+              FROM fl WHERE n >= $SubK),
+      sh AS (SELECT doc_id,
+                    list_sum(list_transform(generate_series(1, $SubK),
+                      j -> fs[i + j - 1] * ([${SubPows.mkString(", ")}])[j])) % $SubP AS h
+             FROM pos),
+      gd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h),
+      pd AS (SELECT sh.doc_id,
+                    count(*) AS n_windows,
+                    CAST(sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+             FROM sh JOIN gd ON sh.h = gd.h GROUP BY sh.doc_id)
+      SELECT d.doc_id,
+             coalesce(pd.n_windows, 0) AS n_windows,
+             coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+             coalesce(round(CAST(pd.n_dup_windows AS DOUBLE) / pd.n_windows, 6), 0.0) AS dup_frac
+      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      ORDER BY d.doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q18ExactDedup, q19MinhashSig, q20LshBuckets, q21Simhash, q22JaccardPairs,
-    q38DedupClusters, q42BandClaims)
+    q38DedupClusters, q42BandClaims, q52DupSubstrings)
 }

@@ -196,6 +196,65 @@ object EventStreams {
       .select(col(idCol), col("band_idx"), col("band_val"))
   }
 
+  /** Streaming duplicated-SUBSTRING filter — the incremental twin of
+    * the batch q52 operator, sharing its exact window-hash core
+    * (Dedup.windowHashesScala): every SubK-token window of an incoming
+    * document claims its hash within the watermark horizon; first
+    * arrival wins (`dropDuplicatesWithinWatermark` — state bounded by
+    * the horizon). A document whose windows are already claimed
+    * carries text the stream has seen — the ingest-time skip-if-seen
+    * semantic. Deliberate asymmetry with batch q52: the batch op is a
+    * corpus AUDIT and marks BOTH sides of a duplicated pair; the
+    * stream is an ingest FILTER and charges only later arrivals, and
+    * a document's self-repeated windows claim once (the state is the
+    * dedup key, not a multiset). The same lateness caveats as
+    * [[bandClaimsStream]] apply.
+    */
+  def windowClaimsStream(pages: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", tsCol: String = "ts",
+                         horizon: String = "10 minutes"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(col(idCol).cast("long"), col(tsCol).cast("timestamp"), col(textCol))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions(_.flatMap { case (id, ts, text) =>
+        graft.queries.Dedup.windowHashesScala(text).iterator.map(h => (id, ts, h))
+      })
+      .toDF(idCol, tsCol, "h")
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("h")
+  }
+
+  /** Batch classification over a window-claims sink: per document, its
+    * recomputed window counts (total and distinct — the denominators
+    * the sink cannot provide, since lost claims leave no rows) against
+    * the number of distinct window hashes it claimed first.
+    * fresh_frac = claimed / distinct windows; a low fraction means the
+    * document's text was already in the stream. Documents with no
+    * windows (short/NULL text) classify with zeros, not absence.
+    */
+  def classifyWindowClaims(claims: DataFrame, docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val hs = graft.queries.Dedup.windowHashesScala(text)
+        (id, hs.length.toLong, hs.distinct.length.toLong)
+      })
+      .toDF(idCol, "n_windows", "n_distinct")
+    counts
+      .join(claims.groupBy(idCol).agg(countDistinct(col("h")).as("n_claimed")), Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"), col("n_distinct"),
+        coalesce(col("n_claimed"), lit(0L)).as("n_claimed"))
+      .withColumn("fresh_frac",
+        when(col("n_distinct") === 0, lit(0.0))
+          .otherwise(round(col("n_claimed") / col("n_distinct"), 6)))
+  }
+
   /** Custom session state via flatMapGroupsWithState: a user's session
     * closes after `gapMs` of inactivity — either when a later event
     * arrives past the gap, or when the processing-time timeout fires

@@ -55,6 +55,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the final orderBy range exchange is allowed:\n$p")
   }
 
+  test("q52: window-hash dedup scans the corpus once and partial-aggregates") {
+    val p = plan("q52_dup_substrings")
+    // the (h, doc_id) compaction must partial-aggregate before its
+    // shuffle (map-side combine absorbs within-doc repeats)
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      s"expected partial + final aggregate pair:\n$p")
+    assert(p.contains("Window"), s"expected the count-over-h window:\n$p")
+    // single lineage: exactly one text scan feeds the shingle map — a
+    // self-join shape would read and extract the whole corpus twice
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string>".r.findAllMatchIn(p).length
+    assert(textScans == 1, s"expected ONE text scan, got $textScans:\n$p")
+  }
+
   test("q20: signatures computed once — a single typed map feeding one Generate") {
     val p = plan("q20_lsh_buckets")
     def count(sub: String): Int = sub.r.findAllMatchIn(p).length
