@@ -79,7 +79,8 @@ object Bench {
       ScalingBench.Report.build(Seq(ScalingBench.Report.StoredRun(
         0L, scalePages, 8, 32,
         rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)),
-        rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest)).distinct.length == 1)))
+        rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest)).distinct.length == 1,
+        samples = 2)))
     }
 
     println(

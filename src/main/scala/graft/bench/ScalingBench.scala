@@ -214,9 +214,14 @@ object ScalingBench {
     final case class Out(md: String, json: String, identical: Boolean,
                          efficiency: Double, ceiling: Double)
 
-    /** One whole invocation: per-round (ceiling, loDps, hiDps). */
+    /** One whole invocation: per-round (ceiling, loDps, hiDps).
+      * `samples` records the per-level samples-per-round of the
+      * protocol that produced the run (1 = the pre-run-17 lo-once
+      * protocol; 2 = best-of-2 at BOTH levels), so the report can
+      * state the spread over protocol-consistent runs. */
     final case class StoredRun(stamp: Long, pages: Long, lo: Int, hi: Int,
-                               rounds: Seq[(Double, Double, Double)], identical: Boolean) {
+                               rounds: Seq[(Double, Double, Double)], identical: Boolean,
+                               samples: Int = 1) {
       def loBest: Double = rounds.map(_._2).max
       def hiBest: Double = rounds.map(_._3).max
       def efficiency: Double = (hiBest / loBest) / (hi.toDouble / lo)
@@ -248,7 +253,8 @@ object ScalingBench {
       * would otherwise gate a PREVIOUS run's digests), and the filename
       * stamp is bumped past any collision so same-millisecond invocations
       * cannot overwrite each other. */
-    def persistAndBuild(rs: Seq[Round], nPages: Long, lo: Int, hi: Int): Out = {
+    def persistAndBuild(rs: Seq[Round], nPages: Long, lo: Int, hi: Int,
+                        samples: Int = 2): Out = {
       require(rs.nonEmpty, "persistAndBuild needs at least one round")
       val identical =
         rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest)).distinct.length == 1
@@ -256,11 +262,11 @@ object ScalingBench {
       var stamp = System.currentTimeMillis()
       while (Files.exists(runsDir.resolve(s"run_$stamp.txt"))) stamp += 1
       val run = StoredRun(stamp, nPages, lo, hi,
-        rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)), identical)
+        rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)), identical, samples)
       // Double.toString, never the f-interpolator: String.format follows
       // the JVM default locale (comma decimals under de_DE etc.) and the
       // round trip through toDouble would silently drop every stored run
-      val body = (s"pages=$nPages lo=$lo hi=$hi identical=$identical" +:
+      val body = (s"pages=$nPages lo=$lo hi=$hi identical=$identical samples=$samples" +:
         run.rounds.map(r => s"${r._1} ${r._2} ${r._3}")).mkString("\n") + "\n"
       Files.writeString(runsDir.resolve(s"run_${run.stamp}.txt"), body)
       build(loadAll(nPages, lo, hi).filterNot(_.stamp == run.stamp) :+ run)
@@ -288,7 +294,8 @@ object ScalingBench {
               // every future build with an empty-rounds StoredRun
               if (rounds.nonEmpty)
                 out += StoredRun(name.stripPrefix("run_").stripSuffix(".txt").toLong,
-                  nPages, lo, hi, rounds, hdr("identical").toBoolean)
+                  nPages, lo, hi, rounds, hdr("identical").toBoolean,
+                  hdr.getOrElse("samples", "1").toInt)
             }
           } catch { case scala.util.control.NonFatal(_) => () } // stale format: skip
         }
@@ -340,6 +347,18 @@ object ScalingBench {
             s"  ${runs.map(r => f"${median(r.perRound)}%.3f").mkString(", ")}",
             s"  best matched-window rounds: ${runs.map(_.bestSaneStr).mkString(", ")}",
             s"- runs meeting the gate (raw ≥ 0.8 OR normalized ≥ 0.85): **$gatePassed of ${runs.length}**") ++
+          {
+            // spread over protocol-consistent (best-of-2-both-levels)
+            // runs only — the pre-run-17 lo-once runs carry the lo-side
+            // burst exposure the current protocol removed
+            val hyg = runs.filter(_.samples >= 2)
+            if (hyg.length >= 2) {
+              val he = hyg.map(_.efficiency)
+              Seq(f"- best-of-2-both-levels runs only (${hyg.length}): best-of efficiencies " +
+                he.map(e => f"$e%.3f").mkString(", ") +
+                f" → spread ${(he.max - he.min) / he.max * 100.0}%.1f%%")
+            } else Seq.empty
+          } ++
           (if (anyInsane) Seq(
             f"- † paired ratio above ${SaneRatioCap}%.1f: a host burst ate one side's sample",
             "  (run 15 round 1's lone local[8] run) — marked rounds are excluded",
