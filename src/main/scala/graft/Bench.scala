@@ -80,7 +80,7 @@ object Bench {
         0L, scalePages, 8, 32,
         rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)),
         rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest)).distinct.length == 1,
-        samples = 2)))
+        samples = rs.map(_.samples).min)))
     }
 
     println(

@@ -59,7 +59,10 @@ object ScalingBench {
   final case class RunResult(cores: Int, pages: Long, wallSec: Double,
                              docsPerSec: Double, outputDigest: String)
 
-  final case class Round(lo: RunResult, hi: RunResult, ceiling: Double)
+  /** `samples` = per-level samples this round actually took, carried
+    * so the stored-run protocol tag can never diverge from the
+    * executed protocol. */
+  final case class Round(lo: RunResult, hi: RunResult, ceiling: Double, samples: Int = 2)
 
   /** Fixed partition count at every level: granularity must not vary
     * with the parallelism being measured. 192 = 6 waves at 32 cores /
@@ -182,7 +185,7 @@ object ScalingBench {
     val loRuns = (1 to samples).map(_ => runAt(lo, nPages))
     val hiRuns = (1 to samples).map(_ => runAt(hi, nPages))
     require((loRuns ++ hiRuns).map(_.outputDigest).distinct.length == 1)
-    Round(loRuns.maxBy(_.docsPerSec), hiRuns.maxBy(_.docsPerSec), c)
+    Round(loRuns.maxBy(_.docsPerSec), hiRuns.maxBy(_.docsPerSec), c, samples)
   }
 
   def main(args: Array[String]): Unit = {
@@ -253,9 +256,12 @@ object ScalingBench {
       * would otherwise gate a PREVIOUS run's digests), and the filename
       * stamp is bumped past any collision so same-millisecond invocations
       * cannot overwrite each other. */
-    def persistAndBuild(rs: Seq[Round], nPages: Long, lo: Int, hi: Int,
-                        samples: Int = 2): Out = {
+    def persistAndBuild(rs: Seq[Round], nPages: Long, lo: Int, hi: Int): Out = {
       require(rs.nonEmpty, "persistAndBuild needs at least one round")
+      // the stored protocol tag comes from the rounds that actually ran
+      // (the weakest round bounds the run's protocol), never a caller
+      // literal that could disagree with round()'s samples parameter
+      val samples = rs.map(_.samples).min
       val identical =
         rs.flatMap(r => Seq(r.lo.outputDigest, r.hi.outputDigest)).distinct.length == 1
       Files.createDirectories(runsDir)

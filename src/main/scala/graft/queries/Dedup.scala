@@ -65,7 +65,7 @@ object Dedup {
   def minhashSigScala(text: String): Option[Array[Long]] = {
     val tk = text.trim.split("\\s+")
     if (tk.length < 3) return None
-    def f(w: String): Long = 31L * w.length + w.codePointAt(0)
+    def f(w: String): Long = TextOps.wordFeatureScala(w)
     val mins = Array.fill(8)(Long.MaxValue)
     var i = 0
     while (i + 2 < tk.length) {
@@ -210,7 +210,7 @@ object Dedup {
     var t = 0
     while (t < toks.length) {
       val w = toks(t)
-      val f = 31L * w.length + (if (w.isEmpty) 0 else w.codePointAt(0))
+      val f = TextOps.wordFeatureScala(w)
       val m = (f * 2654435761L) % 4294967296L
       var i = 0
       while (i < 16) {
@@ -458,19 +458,21 @@ object Dedup {
     * that boilerplate sentences still register (Lee et al. 2022 use 50
     * BPE tokens; 16 whitespace words is the same order of text). */
   private[queries] val SubK = 16
-  private val SubP = 1000003L
 
-  /** B^(SubK-1-j) mod P for j = 0..SubK-1 — the polynomial weights of
-    * the order-sensitive window hash, computed once and interpolated
-    * into BOTH engines' arithmetic so they cannot diverge. */
-  private val SubPows: IndexedSeq[Long] = {
-    val B = 131L
-    val arr = new Array[Long](SubK)
-    arr(SubK - 1) = 1L
-    var j = SubK - 2
-    while (j >= 0) { arr(j) = arr(j + 1) * B % SubP; j -= 1 }
-    arr.toIndexedSeq
-  }
+  /** Two independent Horner hashes over ~31-bit prime moduli, packed
+    * into one 62-bit key. A single small modulus is corpus-size-
+    * dependent noise: at P = 10^6 a measured 63% of the windows q52
+    * flagged on sf0.1 were hash collisions, not text (196k windows
+    * into 10^6 buckets). With the 62-bit key the expected false-dup
+    * probability per window is ~n/2^62 — negligible until ~10^9
+    * windows share one horizon, and a real deployment at that scale
+    * verifies flagged spans verbatim anyway (as q22 verifies LSH
+    * candidates). Horner keeps every intermediate ≤ P·B ≈ 2^39, so
+    * both engines stay in exact BIGINT arithmetic. */
+  private val SubB1 = 131L
+  private val SubP1 = 2147483647L
+  private val SubB2 = 257L
+  private val SubP2 = 2147483629L
 
   /** All SubK-token window hashes of a text, in document order — the
     * integer-exact core shared by the batch q52 operator and the
@@ -481,18 +483,25 @@ object Dedup {
     val n = toks.length
     if (n < SubK) Array.empty
     else {
-      val f = new Array[Long](n)
+      val f1 = new Array[Long](n)
+      val f2 = new Array[Long](n)
       var i = 0
       while (i < n) {
-        val w = toks(i)
-        f(i) = (31L * w.length + (if (w.isEmpty) 0L else w.codePointAt(0).toLong)) % SubP
+        val raw = TextOps.wordFeatureScala(toks(i))
+        f1(i) = raw % SubP1
+        f2(i) = raw % SubP2
         i += 1
       }
       Array.tabulate(n - SubK + 1) { p =>
-        var h = 0L
-        var j = 0
-        while (j < SubK) { h += f(p + j) * SubPows(j); j += 1 }
-        h % SubP
+        var h1 = f1(p)
+        var h2 = f2(p)
+        var j = 1
+        while (j < SubK) {
+          h1 = (h1 * SubB1 + f1(p + j)) % SubP1
+          h2 = (h2 * SubB2 + f2(p + j)) % SubP2
+          j += 1
+        }
+        h1 * 2147483648L + h2 // pack: h1 << 31 | h2, both < 2^31
       }
     }
   }
@@ -510,9 +519,10 @@ object Dedup {
     * window fraction. Inspired by Lee et al., "Deduplicating Training
     * Data Makes Language Models Better" (2022) — their suffix-array
     * exactness traded for the hash-window form that fits a relational
-    * engine (false-positive rate ≈ n_windows²/2P, the standard
-    * Rabin-Karp trade, settled downstream by a verbatim check on the
-    * flagged spans exactly as q22 verifies LSH candidates).
+    * engine (62-bit double-modulus key: per-window false-dup
+    * probability ~n/2^62, see the constant doc; residual flags are
+    * settled downstream by a verbatim check on the flagged spans
+    * exactly as q22 verifies LSH candidates).
     *
     * Scale shape: one typed map emits (doc_id, h) per window — rows ≈
     * token count, the same explosion MinHash shingling pays — then a
@@ -560,14 +570,15 @@ object Dedup {
       WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
                  FROM documents),
       fl AS (SELECT doc_id,
-                    list_transform(toks, w -> (length(w) * 31 + ascii(substring(w, 1, 1))) % $SubP) AS fs,
+                    list_transform(toks, w -> (length(w) * 31 + ascii(substring(w, 1, 1))) % $SubP1) AS fs1,
+                    list_transform(toks, w -> (length(w) * 31 + ascii(substring(w, 1, 1))) % $SubP2) AS fs2,
                     len(toks) AS n
              FROM t),
-      pos AS (SELECT doc_id, fs, unnest(generate_series(1, n - ${SubK - 1})) AS i
+      pos AS (SELECT doc_id, fs1, fs2, unnest(generate_series(1, n - ${SubK - 1})) AS i
               FROM fl WHERE n >= $SubK),
       sh AS (SELECT doc_id,
-                    list_sum(list_transform(generate_series(1, $SubK),
-                      j -> fs[i + j - 1] * ([${SubPows.mkString(", ")}])[j])) % $SubP AS h
+                    list_reduce(fs1[i : i + ${SubK - 1}], (a, b) -> (a * $SubB1 + b) % $SubP1) * 2147483648
+                    + list_reduce(fs2[i : i + ${SubK - 1}], (a, b) -> (a * $SubB2 + b) % $SubP2) AS h
              FROM pos),
       gd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h),
       pd AS (SELECT sh.doc_id,

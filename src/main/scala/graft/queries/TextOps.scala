@@ -35,6 +35,14 @@ object TextOps {
     pWsRun.split(s.substring(b, e), -1)
   }
 
+  /** Scala twin of [[wordFeature]] (31*len + first char code; 0 for
+    * the empty token, matching ascii('') = 0 in both engines) — the
+    * ONE definition every typed-map hash path shares (minhash,
+    * simhash, window hashes); a feature change applied anywhere else
+    * would silently diverge the oracles of whichever path was missed. */
+  private[queries] def wordFeatureScala(w: String): Long =
+    31L * w.length + (if (w.isEmpty) 0L else w.codePointAt(0).toLong)
+
   /** Deterministic per-word feature: 31*len + code of first char —
     * shared by fingerprint / minhash / simhash so the oracle can
     * replicate it arithmetically (no engine-specific hash functions).

@@ -232,7 +232,10 @@ object EventStreams {
     * the number of distinct window hashes it claimed first.
     * fresh_frac = claimed / distinct windows; a low fraction means the
     * document's text was already in the stream. Documents with no
-    * windows (short/NULL text) classify with zeros, not absence.
+    * windows (short/NULL text) carry NO evidence of duplication and
+    * classify fresh_frac = 1.0 — the same keep-side verdict the batch
+    * q52 twin gives them (dup_frac = 0); an ingest filter keyed on
+    * low fresh_frac must not silently drop every short document.
     */
   def classifyWindowClaims(claims: DataFrame, docs: DataFrame, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
@@ -251,7 +254,7 @@ object EventStreams {
       .select(col(idCol), col("n_windows"), col("n_distinct"),
         coalesce(col("n_claimed"), lit(0L)).as("n_claimed"))
       .withColumn("fresh_frac",
-        when(col("n_distinct") === 0, lit(0.0))
+        when(col("n_distinct") === 0, lit(1.0))
           .otherwise(round(col("n_claimed") / col("n_distinct"), 6)))
   }
 

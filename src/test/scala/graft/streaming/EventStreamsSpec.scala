@@ -288,7 +288,11 @@ class EventStreamsSpec extends AnyFunSuite {
   test("streaming window claims: copied text loses its windows, fresh text claims") {
     import spark.implicits._
     def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
-    val a = words("alpha", 32)                       // 32 tokens → 17 windows, all distinct
+    val a = words("alpha", 32)                       // 32 tokens → 17 windows (NOT all
+    // distinct hashes: the engine-agnostic word feature is (len, first
+    // char) only, so alpha10..alpha32 alias and same-feature-sequence
+    // windows share a hash — 10 distinct of 17; the simulation below
+    // accounts for it)
     val half = words("alpha", 16) + " " + words("beta", 16) // first 16 tokens shared with a
     val fresh = words("gamma", 32)
     val flat = java.nio.file.Files.createTempDirectory("winclaim_stream")
