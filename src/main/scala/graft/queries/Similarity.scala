@@ -267,8 +267,10 @@ object Similarity {
   private final case class Assigned(vec_id: Long, embedding: Array[Float],
                                     home: Long, probes: Array[Long], nrm: Double)
 
-  private final case class NormRow(vec_id: Long, label: Int,
-                                   embedding: Array[Float], ne: Array[Double])
+  // private[queries]: JVM-private classes fail generated SafeProjection
+  // compilation outright (see SubRow)
+  private[queries] final case class NormRow(vec_id: Long,
+                                            embedding: Array[Float], ne: Array[Double])
 
   /** mapPartitions assignment against a driver-side codebook: the same
     * (vec_id, embedding, home, probes, nrm) contract as [[assignAgainst]].
@@ -649,31 +651,49 @@ object Similarity {
     * corpus sample (super-cells first, then per-super-cell residuals),
     * which keeps every training collect under the same bound.
     */
+  /** Normalized, 6-decimal-rounded coordinates beside the original
+    * embedding — THE normalization definition (its SQL twin is
+    * [[normSql]]), shared by the trained quantizer and the PQ chain so
+    * the two can never diverge. All downstream means go through exact
+    * DECIMAL(9,6) sums on both engines. Typed map, not a transform
+    * lambda: re-embedding the norm aggregate inside the per-element
+    * lambda would evaluate it once PER ELEMENT (interpreted HOFs have
+    * no CSE) — O(dim²) per row.
+    */
+  private def normRows(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (vid, emb) =>
+        var ss = 0.0
+        var i = 0
+        while (i < emb.length) { val x = emb(i).toDouble; ss += x * x; i += 1 }
+        val nrm = math.sqrt(ss)
+        val ne = new Array[Double](emb.length)
+        i = 0
+        while (i < emb.length) { ne(i) = round6(emb(i).toDouble / nrm); i += 1 }
+        NormRow(vid, emb, ne)
+      })
+      .toDF()
+      .persist()
+  }
+
+  /** The normalization CTE (the SQL twin of [[normRows]]) under the
+    * given name — emitted once per oracle that needs it. */
+  private def normSql(name: String): String = s"""$name AS (SELECT vec_id,
+                         -- norm hoisted out of the per-element lambda
+                         -- (same O(dim^2) trap the Spark side avoids)
+                         list_transform(embedding,
+                           x -> round(CAST(x AS DOUBLE) / nrm, 6)) AS ne
+                  FROM (SELECT vec_id, embedding,
+                               sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+                        FROM embeddings))"""
+
   private def trainedAssignedDf(s: SparkSession, dir: String, probes: Int)
       : org.apache.spark.sql.DataFrame = {
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
-    // normalized coordinates rounded to 6 decimals: all downstream
-    // means go through exact DECIMAL(9,6) sums on both engines. Typed
-    // map, not a transform lambda: re-embedding the norm aggregate
-    // inside the per-element lambda would evaluate it once PER ELEMENT
-    // (interpreted HOFs have no CSE) — O(dim²) per row
-    val en = {
-      import s.implicits._
-      e.select(col("vec_id"), col("label"), col("embedding"))
-        .as[(Long, Int, Array[Float])]
-        .mapPartitions(_.map { case (vid, lab, emb) =>
-          var ss = 0.0
-          var i = 0
-          while (i < emb.length) { val x = emb(i).toDouble; ss += x * x; i += 1 }
-          val nrm = math.sqrt(ss)
-          val ne = new Array[Double](emb.length)
-          i = 0
-          while (i < emb.length) { ne(i) = round6(emb(i).toDouble / nrm); i += 1 }
-          NormRow(vid, lab, emb, ne)
-        })
-        .toDF()
-        .persist()
-    }
+    val en = normRows(s.read.parquet(s"$dir/embeddings.parquet"))
     // init: the first ⌈√n⌉ NORMALIZED vectors — the same deterministic
     // "sample" the untrained √n chain uses (centroidTable), but on the
     // spherical coordinates the Lloyd rounds refine
@@ -689,15 +709,7 @@ object Similarity {
     * 3 Lloyd rounds → distance rank `rkd` → `home`) shared by the q40
     * and q49 oracles — one definition, so quantizer tuning can never
     * diverge. */
-  private def trainedChainSql: String = s"""en AS (SELECT vec_id, label,
-                         -- norm hoisted out of the per-element lambda
-                         -- (same O(dim^2) trap the Spark side avoids)
-                         list_transform(embedding,
-                           x -> round(CAST(x AS DOUBLE) / nrm, 6)) AS ne
-                  FROM (SELECT vec_id, label, embedding,
-                               sqrt(list_sum(list_transform(embedding,
-                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
-                        FROM embeddings)),
+  private def trainedChainSql: String = s"""${normSql("en")},
       nn AS (SELECT LEAST(CAST(ceil(sqrt(count(*))) AS BIGINT), $MaxBroadcastCells) AS k FROM embeddings),
       cb0 AS (SELECT vec_id AS cid, ne AS ce FROM en, nn WHERE vec_id < k),
       ${(1 to 3).map(lloydRoundSql).mkString(",\n      ")},
@@ -1068,23 +1080,16 @@ object Similarity {
   private[queries] final case class SubRow(vec_id: Long, sub: Int, sv: Array[Double])
   private[queries] final case class SubCell(vec_id: Long, sub: Int, sv: Array[Double], cell: Long)
 
-  /** Normalized, 6-decimal-rounded vectors split into PqM subvector
-    * rows — the training/encoding input. Typed map: one normalization
-    * per vector (the interpreted-HOF norm trap), rows fan out m-fold
-    * but carry dim/m doubles each, so total bytes are unchanged. */
-  private def pqSubRows(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val spark = e.sparkSession
+  /** The [[normRows]] coordinates split into PqM subvector rows — the
+    * training/encoding input (normalization itself has ONE definition;
+    * this only slices). Rows fan out m-fold but carry dim/m doubles
+    * each, so total bytes are unchanged. */
+  private def pqSubRows(norm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = norm.sparkSession
     import spark.implicits._
-    e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .mapPartitions(_.flatMap { case (vid, emb) =>
-        var ss = 0.0
-        var i = 0
-        while (i < emb.length) { val x = emb(i).toDouble; ss += x * x; i += 1 }
-        val nrm = math.sqrt(ss)
-        val ne = new Array[Double](emb.length)
-        i = 0
-        while (i < emb.length) { ne(i) = round6(emb(i).toDouble / nrm); i += 1 }
-        val sd = emb.length / PqM
+    norm.select(col("vec_id"), col("ne")).as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (vid, ne) =>
+        val sd = ne.length / PqM
         (0 until PqM).map(s => SubRow(vid, s, ne.slice(s * sd, (s + 1) * sd)))
       })
       .toDF()
@@ -1140,10 +1145,12 @@ object Similarity {
     (1 to PqRounds).foldLeft(cb0)((cb, _) => pqLloydRound(sv, cb))
   }
 
-  /** The PQ chain as DuckDB CTEs: normalize → subvector rows → first-16
-    * init → unrolled per-sub Lloyd rounds → final assignment `af`
-    * (vec_id, sub, cell) against `cb$PqRounds`. Shared by q53/q54. */
-  private def pqChainSql: String = {
+  /** The PQ chain as DuckDB CTEs: subvector rows over the `src`
+    * normalization CTE (emitted here unless the surrounding chain
+    * already defines it — q55 reuses trainedChainSql's `en`) →
+    * first-16 init → unrolled per-sub Lloyd rounds → final assignment
+    * `af` (vec_id, sub, cell) against `cb$PqRounds`. */
+  private def pqChainSql(src: String = "pen"): String = {
     def lloyd(r: Int): String = {
       val prev = s"pcb${r - 1}"
       s"""pd$r AS (SELECT v.vec_id, v.sub, c.cid,
@@ -1164,16 +1171,10 @@ object Similarity {
                            FROM pm$r GROUP BY sub, cell) n
                 ON p.sub = n.sub AND p.cid = n.cid)"""
     }
-    s"""pen AS (SELECT vec_id,
-                       list_transform(embedding,
-                         x -> round(CAST(x AS DOUBLE) / nrm, 6)) AS ne
-                FROM (SELECT vec_id, embedding,
-                             sqrt(list_sum(list_transform(embedding,
-                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
-                      FROM embeddings)),
-      psv AS (SELECT vec_id, t.sub,
+    val srcCte = if (src == "pen") s"${normSql("pen")},\n      " else ""
+    s"""${srcCte}psv AS (SELECT vec_id, t.sub,
                      ne[(len(ne) // $PqM) * t.sub + 1 : (len(ne) // $PqM) * (t.sub + 1)] AS sv
-              FROM pen, range(0, $PqM) t(sub)),
+              FROM $src, range(0, $PqM) t(sub)),
       pcb0 AS (SELECT sub, vec_id AS cid, sv AS ce FROM psv WHERE vec_id < $PqKs),
       ${(1 to PqRounds).map(lloyd).mkString(",\n      ")},
       pdF AS (SELECT v.vec_id, v.sub, c.cid,
@@ -1186,20 +1187,53 @@ object Similarity {
                FROM pdF) WHERE rk = 1)"""
   }
 
+  /** Scored recall rows (qid, hits, recall5): predicted top-5 against
+    * the exact top-5 over the given query list — ONE definition of the
+    * scoring contract for every recall query (its SQL twin is
+    * [[recallScoreSql]]). */
+  private def recallScore(queries: org.apache.spark.sql.DataFrame,
+      top5: org.apache.spark.sql.DataFrame, exact: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hits = exact.as("x")
+      .join(top5.as("y"), col("x.qid") === col("y.qid") && col("x.nid") === col("y.nid"))
+      .groupBy(col("x.qid").as("qid")).agg(count(lit(1)).as("hits"))
+    queries.join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
+      .orderBy("qid")
+  }
+
+  /** The exact brute-force cosine top-5 as a CTE over `qv` (qid, qe)
+    * and the embeddings table — the baseline every recall oracle
+    * scores against. */
+  private def exactExtSql: String = s"""ext AS (SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
+        FROM (SELECT q.qid, c2.vec_id AS nid, ${cosSql("q.qe", "c2.embedding")} AS cos6
+          FROM qv q JOIN embeddings c2 ON q.qid <> c2.vec_id) a) b WHERE rk <= 5)"""
+
+  /** SQL twin of [[recallScore]]: hits of `predCte` against `ext`,
+    * scored per query in `qv`. */
+  private def recallScoreSql(predCte: String): String = s"""
+      h2 AS (SELECT e.qid, count(*) AS hits FROM ext e
+             JOIN $predCte i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid)
+      SELECT q.qid, CAST(coalesce(h2.hits, 0) AS BIGINT) AS hits,
+             round(coalesce(h2.hits, 0) / 5.0, 6) AS recall5
+      FROM qv q LEFT JOIN h2 ON q.qid = h2.qid ORDER BY q.qid""".trim
+
   /** PQ encoding under the oracle gate: every vector's 8 trained 4-bit
     * sub-codes packed into one 32-bit integer — the 64× compression
     * that keeps IVF candidate lists in memory at 100 TB. */
   val q53PqCodes = QueryDef(
     "q53_pq_codes",
     (s, dir) => {
-      val sv = pqSubRows(s.read.parquet(s"$dir/embeddings.parquet"))
+      val sv = pqSubRows(normRows(s.read.parquet(s"$dir/embeddings.parquet")))
       pqAssign(sv, pqCodebook(sv))
         .groupBy("vec_id")
         .agg(sum(expr("cell * shiftleft(CAST(1 AS BIGINT), CAST(sub * 4 AS INT))")).as("code"))
         .orderBy("vec_id")
     },
     Some(s"""
-      WITH $pqChainSql
+      WITH ${pqChainSql()}
       SELECT vec_id,
              CAST(sum(cell * (CAST(1 AS BIGINT) << CAST(4 * sub AS INT))) AS BIGINT) AS code
       FROM af GROUP BY vec_id ORDER BY vec_id
@@ -1227,7 +1261,7 @@ object Similarity {
     "q54_pq_recall",
     (s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val sv = pqSubRows(e)
+      val sv = pqSubRows(normRows(e))
       val cb = pqCodebook(sv)
       val codes = pqAssign(sv, cb).select(col("vec_id").as("nid"), col("sub"), col("cell"))
       // per-query distance tables: query subvectors × the 128 centroids
@@ -1254,17 +1288,10 @@ object Similarity {
         .withColumn("cos6", round(cos, 6))
         .withColumn("rk", row_number().over(we)).filter(col("rk") <= 5)
         .select(col("qid"), col("nid"))
-      val hits = exact.as("x")
-        .join(pq5.as("y"), col("x.qid") === col("y.qid") && col("x.nid") === col("y.nid"))
-        .groupBy(col("x.qid").as("qid")).agg(count(lit(1)).as("hits"))
-      q.select(col("qid"))
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
-        .orderBy("qid")
+      recallScore(q.select(col("qid")), pq5, exact)
     },
     Some(s"""
-      WITH $pqChainSql,
+      WITH ${pqChainSql()},
       qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 4),
       dt AS (SELECT s.vec_id AS qid, s.sub, c.cid,
                round(list_sum(list_transform(generate_series(1, len(s.sv)),
@@ -1279,15 +1306,8 @@ object Similarity {
       pq5 AS (SELECT qid, nid FROM (
                SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY e ASC, nid ASC) AS rk
                FROM est) WHERE rk <= 5),
-      ext AS (SELECT qid, nid FROM (
-        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
-        FROM (SELECT q.qid, c2.vec_id AS nid, ${cosSql("q.qe", "c2.embedding")} AS cos6
-          FROM qv q JOIN embeddings c2 ON q.qid <> c2.vec_id) a) b WHERE rk <= 5),
-      h2 AS (SELECT e.qid, count(*) AS hits FROM ext e
-             JOIN pq5 i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid)
-      SELECT q.qid, CAST(coalesce(h2.hits, 0) AS BIGINT) AS hits,
-             round(coalesce(h2.hits, 0) / 5.0, 6) AS recall5
-      FROM qv q LEFT JOIN h2 ON q.qid = h2.qid ORDER BY q.qid
+      $exactExtSql,
+      ${recallScoreSql("pq5")}
     """.trim)
   )
 
@@ -1314,7 +1334,7 @@ object Similarity {
       // stage 1: trained coarse quantizer, probe-3 (the q40 machinery)
       val assigned = trainedAssignedDf(s, dir, probes = 3)
       // stage 2 prep: PQ codes + per-query distance tables (q54 kernel)
-      val sv = pqSubRows(e)
+      val sv = pqSubRows(normRows(e))
       val cb = pqCodebook(sv)
       val codes = pqAssign(sv, cb).select(col("vec_id").as("nid"), col("sub"), col("cell"))
       val dt = sv.filter(col("vec_id") % 100 === 4)
@@ -1328,7 +1348,7 @@ object Similarity {
       val cands = assigned.select(col("vec_id").as("nid"), col("home"))
       val pairs = qs.join(cands, col("pcell") === col("home") && col("qid") =!= col("nid"))
         .select("qid", "nid")
-      // ADC estimate + top-20 shortlist
+      // ADC estimate + top-50 shortlist
       val est = pairs.join(codes, Seq("nid"))
         .join(broadcast(dt), Seq("qid", "sub")).where(col("cell") === col("cid"))
         .groupBy("qid", "nid")
@@ -1348,26 +1368,16 @@ object Similarity {
         .withColumn("cos6", round(cos, 6))
         .withColumn("rk", row_number().over(wr)).filter(col("rk") <= 5)
         .select("qid", "nid")
-      // score against the brute-force exact baseline
-      val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      val we = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
-      val exact = c.join(broadcast(q), col("qid") =!= col("nid"))
-        .withColumn("cos6", round(cos, 6))
-        .withColumn("rk", row_number().over(we)).filter(col("rk") <= 5)
-        .select("qid", "nid")
-      val hits = exact.as("x")
-        .join(top5.as("y"), col("x.qid") === col("y.qid") && col("x.nid") === col("y.nid"))
-        .groupBy(col("x.qid").as("qid")).agg(count(lit(1)).as("hits"))
-      q.select(col("qid"))
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
-        .orderBy("qid")
+      // score against the brute-force exact baseline — the q39-proven
+      // hoisted-norm form over the assignment already in scope
+      // (bit-identical: nrm is the sqrt of the same ordered fold)
+      val exact = exactTop5(assigned)
+      recallScore(q.select(col("qid")), top5, exact)
     },
     Some(s"""
       WITH $trainedChainSql,
       probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 3),
-      $pqChainSql,
+      ${pqChainSql("en")},
       qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 4),
       dt AS (SELECT s.vec_id AS qid, s.sub, c.cid,
                round(list_sum(list_transform(generate_series(1, len(s.sv)),
@@ -1391,15 +1401,8 @@ object Similarity {
       pq5 AS (SELECT qid, nid FROM (
                SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
                FROM rr) WHERE rk <= 5),
-      ext AS (SELECT qid, nid FROM (
-        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
-        FROM (SELECT q.qid, c2.vec_id AS nid, ${cosSql("q.qe", "c2.embedding")} AS cos6
-          FROM qv q JOIN embeddings c2 ON q.qid <> c2.vec_id) a) b WHERE rk <= 5),
-      h2 AS (SELECT e.qid, count(*) AS hits FROM ext e
-             JOIN pq5 i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid)
-      SELECT q.qid, CAST(coalesce(h2.hits, 0) AS BIGINT) AS hits,
-             round(coalesce(h2.hits, 0) / 5.0, 6) AS recall5
-      FROM qv q LEFT JOIN h2 ON q.qid = h2.qid ORDER BY q.qid
+      $exactExtSql,
+      ${recallScoreSql("pq5")}
     """.trim)
   )
 
