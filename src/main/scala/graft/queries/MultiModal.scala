@@ -43,13 +43,18 @@ object MultiModal {
     val w = bb.getShort().toInt
     val h = bb.getShort().toInt
     val f = bb.getInt()
-    // ??? real pixel decode goes here; deterministic fake features instead:
-    val feat = new Array[Float](8)
+    // ??? real pixel decode goes here; deterministic fake features
+    // instead — per-lane INTEGER byte sums divided once (engine-
+    // agnostic arithmetic: an order-sensitive per-byte float32
+    // accumulation could not be replayed exactly in SQL, and a real
+    // codec replaces this body wholesale anyway):
+    val lane = new Array[Long](8)
     var i = 12
     while (i < blob.length) {
-      feat((i - 12) % 8) += (blob(i) & 0xff) / 255.0f
+      lane((i - 12) % 8) += (blob(i) & 0xff)
       i += 1
     }
+    val feat = Array.tabulate(8)(l => (lane(l) / 255.0).toFloat)
     MediaMeta(docId, w, h, f, blob.length, feat, decode_ok = true)
   }
 
@@ -112,8 +117,14 @@ object MultiModal {
     """.trim)
   )
 
-  /** Full binary round-trip through the stub codec in mapPartitions
-    * (rows-only check; invariants covered by MultiModalSpec).
+  /** Full binary round-trip through the stub codec in mapPartitions,
+    * under the oracle gate: DuckDB rebuilds the header fields and the
+    * lane-sum features arithmetically from the text payload (1 byte
+    * per char — the corpus is ASCII, the same contract boundary
+    * qx_extract_spans documents), so the blob framing, resize header
+    * rewrite, decode walk, and feature arithmetic are all replayed
+    * bit-exactly. The final 8-lane sum folds in lane order through
+    * doubles on both engines.
     */
   val qxMediaFeatures = QueryDef(
     "qx_media_features",
@@ -133,7 +144,24 @@ object MultiModal {
           round(aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feat_sum"))
         .orderBy("doc_id")
     },
-    None
+    Some("""
+      WITH lanes AS (
+        SELECT doc_id, (t.j - 1) % 8 AS lane,
+               sum(unicode(substring(text, CAST(t.j AS INT), 1))) AS s
+        FROM documents, unnest(generate_series(1, len(text))) AS t(j)
+        GROUP BY doc_id, (t.j - 1) % 8),
+      feats AS (SELECT doc_id,
+                       list(CAST(CAST(s / 255.0 AS REAL) AS DOUBLE) ORDER BY lane) AS fl
+                FROM lanes GROUP BY doc_id)
+      SELECT d.doc_id,
+             224 AS width, 224 AS height,
+             CAST(1 + d.doc_id % 30 AS INT) AS frames,
+             CAST(12 + octet_length(encode(d.text)) AS INT) AS bytes,
+             true AS decode_ok,
+             round(coalesce((SELECT list_reduce(f.fl, (a, b) -> a + b)
+                             FROM feats f WHERE f.doc_id = d.doc_id), 0.0), 4) AS feat_sum
+      FROM documents d ORDER BY d.doc_id
+    """.trim)
   )
 
   /** X20: pt→px geometry conversion (`convert_pt2px`,
