@@ -549,14 +549,8 @@ object Similarity {
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
       .select(col("qid"), col("nid"))
     val exact = exactOpt.getOrElse(exactTop5(assigned))
-    val hits = exact.as("x")
-      .join(ivf.as("y"), col("x.qid") === col("y.qid") && col("x.nid") === col("y.nid"))
-      .groupBy(col("x.qid").as("qid")).agg(count(lit(1)).as("hits"))
-    assigned.filter(col("vec_id") % 100 === 4).select(col("vec_id").as("qid"))
-      .join(hits, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall5"))
-      .orderBy("qid")
+    recallScore(assigned.filter(col("vec_id") % 100 === 4)
+      .select(col("vec_id").as("qid")), ivf, exact)
   }
 
   /** The recall-evaluation CTE tail shared by q39/q40: expects `home` and
@@ -572,15 +566,8 @@ object Similarity {
         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
         FROM (SELECT qid, nid, ${cosSql("qe", "ne")} AS cos6
           FROM qs JOIN cands ON pcell = ncell AND qid <> nid) a) b WHERE rk <= 5),
-      ext AS (SELECT qid, nid FROM (
-        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rk
-        FROM (SELECT q.qid, c2.nid, ${cosSql("q.qe", "c2.ne")} AS cos6
-          FROM qv q JOIN cands c2 ON q.qid <> c2.nid) a) b WHERE rk <= 5),
-      h2 AS (SELECT e.qid, count(*) AS hits FROM ext e
-             JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid GROUP BY e.qid)
-      SELECT q.qid, CAST(coalesce(h2.hits, 0) AS BIGINT) AS hits,
-             round(coalesce(h2.hits, 0) / 5.0, 6) AS recall5
-      FROM qv q LEFT JOIN h2 ON q.qid = h2.qid ORDER BY q.qid""".trim
+      $exactExtSql,
+      ${recallScoreSql("ivf")}""".trim
 
   val q39AnnRecall = QueryDef(
     "q39_ann_recall",
@@ -691,9 +678,13 @@ object Similarity {
                                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
                         FROM embeddings))"""
 
-  private def trainedAssignedDf(s: SparkSession, dir: String, probes: Int)
+  private def trainedAssignedDf(s: SparkSession, dir: String, probes: Int,
+      norm: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val en = normRows(s.read.parquet(s"$dir/embeddings.parquet"))
+    // callers that already normalized (q55 shares one pass between the
+    // coarse quantizer and the PQ stage) pass it in — mirroring the
+    // oracle side, where pqChainSql("en") reuses the trained chain's CTE
+    val en = norm.getOrElse(normRows(s.read.parquet(s"$dir/embeddings.parquet")))
     // init: the first ⌈√n⌉ NORMALIZED vectors — the same deterministic
     // "sample" the untrained √n chain uses (centroidTable), but on the
     // spherical coordinates the Lloyd rounds refine
@@ -1145,12 +1136,14 @@ object Similarity {
     (1 to PqRounds).foldLeft(cb0)((cb, _) => pqLloydRound(sv, cb))
   }
 
-  /** The PQ chain as DuckDB CTEs: subvector rows over the `src`
-    * normalization CTE (emitted here unless the surrounding chain
-    * already defines it — q55 reuses trainedChainSql's `en`) →
-    * first-16 init → unrolled per-sub Lloyd rounds → final assignment
-    * `af` (vec_id, sub, cell) against `cb$PqRounds`. */
-  private def pqChainSql(src: String = "pen"): String = {
+  /** The PQ chain as DuckDB CTEs: subvector rows over a normalization
+    * CTE (emitted here as `pen` when `reuseCte` is None; with
+    * Some(name), the surrounding chain's existing CTE is referenced —
+    * q55 reuses trainedChainSql's `en`) → first-16 init → unrolled
+    * per-sub Lloyd rounds → final assignment `af` (vec_id, sub, cell)
+    * against `cb$PqRounds`. */
+  private def pqChainSql(reuseCte: Option[String] = None): String = {
+    val src = reuseCte.getOrElse("pen")
     def lloyd(r: Int): String = {
       val prev = s"pcb${r - 1}"
       s"""pd$r AS (SELECT v.vec_id, v.sub, c.cid,
@@ -1171,7 +1164,7 @@ object Similarity {
                            FROM pm$r GROUP BY sub, cell) n
                 ON p.sub = n.sub AND p.cid = n.cid)"""
     }
-    val srcCte = if (src == "pen") s"${normSql("pen")},\n      " else ""
+    val srcCte = if (reuseCte.isEmpty) s"${normSql("pen")},\n      " else ""
     s"""${srcCte}psv AS (SELECT vec_id, t.sub,
                      ne[(len(ne) // $PqM) * t.sub + 1 : (len(ne) // $PqM) * (t.sub + 1)] AS sv
               FROM $src, range(0, $PqM) t(sub)),
@@ -1331,10 +1324,13 @@ object Similarity {
     "q55_ivfpq_recall",
     (s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+      // one normalization pass shared by both stages (the SQL twin
+      // likewise shares the `en` CTE)
+      val norm = normRows(e)
       // stage 1: trained coarse quantizer, probe-3 (the q40 machinery)
-      val assigned = trainedAssignedDf(s, dir, probes = 3)
+      val assigned = trainedAssignedDf(s, dir, probes = 3, norm = Some(norm))
       // stage 2 prep: PQ codes + per-query distance tables (q54 kernel)
-      val sv = pqSubRows(normRows(e))
+      val sv = pqSubRows(norm)
       val cb = pqCodebook(sv)
       val codes = pqAssign(sv, cb).select(col("vec_id").as("nid"), col("sub"), col("cell"))
       val dt = sv.filter(col("vec_id") % 100 === 4)
@@ -1377,7 +1373,7 @@ object Similarity {
     Some(s"""
       WITH $trainedChainSql,
       probes AS (SELECT vec_id, cid AS cell FROM rkd WHERE rk <= 3),
-      ${pqChainSql("en")},
+      ${pqChainSql(Some("en"))},
       qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 4),
       dt AS (SELECT s.vec_id AS qid, s.sub, c.cid,
                round(list_sum(list_transform(generate_series(1, len(s.sv)),
