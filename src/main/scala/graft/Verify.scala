@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: run only the named queries (dev iteration);
-    // the driver always passes exactly two args → full run
+    // the driver always passes exactly two args → full run. Unknown
+    // names fail fast — a typo would otherwise run NOTHING and read as
+    // a vacuously green "0 pass / 0 fail"
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

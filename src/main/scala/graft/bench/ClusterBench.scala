@@ -60,8 +60,14 @@ object ClusterBench {
     val (wall, n, digest) = ScalingBench.timedPass(spark, path)
     if (n != pages)
       System.err.println(s"CLUSTERBENCH WARNING: corpus has $n rows, arg said $pages — rate uses the measured count")
-    // single greppable result line on stdout; rate over the MEASURED count
-    println(f"""CLUSTERBENCH {"executors":$execs,"pages":$n,"wall_sec":$wall%.2f,"docs_per_sec":${n / wall}%.1f,"cpu_ceiling_8_32":$ceiling%.3f,"digest":"$digest"}""")
+    // single greppable result line on stdout; rate over the MEASURED
+    // count. Locale.ROOT, never the f-interpolator: String.format under
+    // a comma-decimal default locale would corrupt the machine-parsed
+    // line (the ScalingBench.persistAndBuild rule)
+    println(String.format(java.util.Locale.ROOT,
+      """CLUSTERBENCH {"executors":%d,"pages":%d,"wall_sec":%.2f,"docs_per_sec":%.1f,"cpu_ceiling_8_32":%.3f,"digest":"%s"}""",
+      Int.box(execs), Long.box(n), Double.box(wall), Double.box(n / wall),
+      Double.box(ceiling), digest))
     spark.stop()
   }
 }

@@ -871,10 +871,12 @@ object Similarity {
   val q49ProbeSweep = QueryDef(
     "q49_probe_sweep",
     (s, dir) => {
-      val n = s.read.parquet(s"$dir/embeddings.parquet").count()
-      val k = math.min(math.ceil(math.sqrt(n.toDouble)).toLong, MaxBroadcastCells)
+      // one normalization pass: k comes from the cached norm rows and
+      // threads into the trained chain instead of a second parquet scan
+      val norm = normRows(s.read.parquet(s"$dir/embeddings.parquet"))
+      val k = math.min(math.ceil(math.sqrt(norm.count().toDouble)).toLong, MaxBroadcastCells)
       val half = scanTargetProbes(k, 0.5)
-      val aAll = trainedAssignedDf(s, dir, probes = half)
+      val aAll = trainedAssignedDf(s, dir, probes = half, norm = Some(norm))
       val exact = exactTop5(aAll).persist() // shared across the three budgets
       Seq(1, 3, half).map { p =>
         recallFromAssigned(aAll.withColumn("probes", slice(col("probes"), 1, p)), Some(exact))
@@ -1180,6 +1182,18 @@ object Similarity {
                FROM pdF) WHERE rk = 1)"""
   }
 
+  /** Per-query ADC distance tables: the query sample's exact
+    * subvectors against all per-sub centroids — (qid, sub, cid, d26),
+    * 8·16 rows per query. ONE definition shared by q54 and q55 (the
+    * same one-definition rule as the SQL chains). */
+  private def pqQueryTables(sv: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sv.filter(col("vec_id") % 100 === 4)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid"),
+        round(sqDist(col("sv"), col("ce")), 6).as("d26"))
+
   /** Scored recall rows (qid, hits, recall5): predicted top-5 against
     * the exact top-5 over the given query list — ONE definition of the
     * scoring contract for every recall query (its SQL twin is
@@ -1258,11 +1272,7 @@ object Similarity {
       val cb = pqCodebook(sv)
       val codes = pqAssign(sv, cb).select(col("vec_id").as("nid"), col("sub"), col("cell"))
       // per-query distance tables: query subvectors × the 128 centroids
-      val dt = sv.filter(col("vec_id") % 100 === 4)
-        .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-        .join(broadcast(cb), Seq("sub"))
-        .select(col("qid"), col("sub"), col("cid"),
-          round(sqDist(col("sv"), col("ce")), 6).as("d26"))
+      val dt = pqQueryTables(sv, cb)
       val est = codes.join(broadcast(dt),
           codes("sub") === dt("sub") && col("cell") === col("cid") && col("nid") =!= col("qid"))
         .groupBy("qid", "nid")
@@ -1333,11 +1343,7 @@ object Similarity {
       val sv = pqSubRows(norm)
       val cb = pqCodebook(sv)
       val codes = pqAssign(sv, cb).select(col("vec_id").as("nid"), col("sub"), col("cell"))
-      val dt = sv.filter(col("vec_id") % 100 === 4)
-        .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-        .join(broadcast(cb), Seq("sub"))
-        .select(col("qid"), col("sub"), col("cid"),
-          round(sqDist(col("sv"), col("ce")), 6).as("d26"))
+      val dt = pqQueryTables(sv, cb)
       // candidate pairs: docs homed in the query's probed cells
       val qs = assigned.filter(col("vec_id") % 100 === 4)
         .select(col("vec_id").as("qid"), explode(col("probes")).as("pcell"))

@@ -73,7 +73,11 @@ object EventStreams {
     * bands collided with an earlier near-identical document (or an
     * unlucky band — the standard LSH false-positive trade, settled
     * downstream by the batch q22 Jaccard verifier). [[classifyClaims]] is
-    * that batch-side classification over a claims sink.
+    * that batch-side classification over a claims sink. Within one
+    * micro-batch, the claimant among SIMULTANEOUS first-arrivals of a
+    * key is engine-arbitrary (the claimed-key set is deterministic;
+    * attribution is not) — deterministic attribution comes from the
+    * batch twin, which min-doc_id-orders the claim.
     *
     * Lateness caveat (semantics pinned by EventStreamsSpec): a document
     * behind the watermark is DROPPED by the late-events filter before
@@ -208,7 +212,13 @@ object EventStreams {
     * stream is an ingest FILTER and charges only later arrivals, and
     * a document's self-repeated windows claim once (the state is the
     * dedup key, not a multiset). The same lateness caveats as
-    * [[bandClaimsStream]] apply.
+    * [[bandClaimsStream]] apply — as does its within-batch tie: when
+    * two docs in the SAME micro-batch both present a not-yet-claimed
+    * key, `dropDuplicatesWithinWatermark` keeps an engine-arbitrary
+    * one, so claim ATTRIBUTION between simultaneous duplicates is not
+    * deterministic (the claimed key SET is). Pipelines needing
+    * deterministic attribution for simultaneous arrivals run the
+    * batch audit (q52 / q42), which charges both sides.
     */
   def windowClaimsStream(pages: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id", tsCol: String = "ts",

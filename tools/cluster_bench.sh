@@ -28,13 +28,29 @@ for r in $(seq 1 "$ROUNDS"); do
       2>"$LOG" | grep CLUSTERBENCH | sed "s/^/round=$r size=[$SIZE] /" | tee -a "$OUT"
   done
 done
-# codegen gate: grep every executor stderr written during THIS run
-FALLBACKS=$(find "$WORKDIR" -name stderr -newer "$MARKER" 2>/dev/null \
-  | xargs -r grep -l "CompileException" || true)
+# codegen gate: grep every executor stderr written during THIS run.
+# Zero found files means we looked in the WRONG place (different
+# SPARK_WORKER_DIR / install layout) — that must FAIL, not silently
+# pass, or the gate stops gating.
+NEWLOGS=$(find "$WORKDIR" -name stderr -newer "$MARKER" 2>/dev/null || true)
 rm -f "$MARKER"
+if [ -z "$NEWLOGS" ]; then
+  echo "CODEGEN GATE INCONCLUSIVE: no executor stderr found under $WORKDIR" | tee -a "$OUT"
+  exit 5
+fi
+FALLBACKS=$(echo "$NEWLOGS" | xargs -r grep -l "CompileException" || true)
 if [ -n "$FALLBACKS" ]; then
   echo "CODEGEN FALLBACK DETECTED in executor logs:" | tee -a "$OUT"
   echo "$FALLBACKS" | tee -a "$OUT"
   exit 3
 fi
-echo "--- results in $OUT; executor-log codegen gate passed (no CompileException)"
+# determinism gate: the digest must be byte-identical across every run
+# and BOTH cluster sizes (the thread-mode harness require()s this;
+# the multi-JVM path is the whole point of the cross-JVM witness)
+NDIGESTS=$(grep -o '"digest":"[^"]*"' "$OUT" | sort -u | wc -l)
+if [ "$NDIGESTS" -ne 1 ]; then
+  echo "DIGEST MISMATCH across runs/sizes:" | tee -a "$OUT"
+  grep -o '"digest":"[^"]*"' "$OUT" | sort -u | tee -a "$OUT"
+  exit 4
+fi
+echo "--- results in $OUT; codegen gate passed; digests identical across all runs"
