@@ -21,9 +21,9 @@ object Dedup {
 
   import TextOps.{tokens, wordFeature}
 
-  private val P = 1048573L // < 2^20, keeps band keys in 2^40
-  private val A = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
-  private val B = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private[queries] val P = 1048573L // < 2^20, keeps band keys in 2^40
+  private[queries] val A = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private[queries] val B = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
 
   private val fwSql = "(length({w}) * 31 + ascii(substring({w}, 1, 1)))"
   private def fw(w: String) = fwSql.replace("{w}", w)
@@ -63,7 +63,13 @@ object Dedup {
     * once. Values are bit-identical to the column form and the oracle.
     */
   def minhashSigScala(text: String): Option[Array[Long]] = {
-    val tk = text.trim.split("\\s+")
+    // Tokenize through the ONE shared tokenizer (SQL-trim semantics:
+    // spaces only, empties kept) so \t\n\r-padded text shingles
+    // identically to the DuckDB oracle's regexp_split_to_array(trim(..));
+    // NULL text yields no signature, matching SQL NULL propagation
+    // (mirrors the r3 simhash fix at simhashMixedScala).
+    if (text == null) return None
+    val tk = TextOps.tokensScala(text)
     if (tk.length < 3) return None
     def f(w: String): Long = TextOps.wordFeatureScala(w)
     val mins = Array.fill(8)(Long.MaxValue)

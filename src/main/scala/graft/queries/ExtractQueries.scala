@@ -58,13 +58,49 @@ object ExtractQueries {
     """.trim)
   )
 
+  /** DuckDB-visible materialization of the synthetic-corpus extraction.
+    *
+    * DuckDB cannot replay `SyntheticCorpus.generate` + `Extractor.run`,
+    * so the oracle for the corpus queries is a SECOND, independent
+    * extraction pass written to a fixed parquet path at a deliberately
+    * different parallelism (7 generator partitions vs the session
+    * default): the live query side re-extracts fresh and must match the
+    * materialized pass bit-exactly through DuckDB's own aggregation —
+    * i.e. the oracle gates cross-parallelism determinism (the north
+    * rule's byte-identical invariant) plus the aggregation arithmetic,
+    * engine-agnostically. Rewritten on every Verify JVM (memo below is
+    * per-process), so the driver's DuckDB run always reads the parquet
+    * produced seconds earlier from the same sf dir.
+    */
+  val oracleCachePath = "/tmp/graft_verify_extract_cache"
+  @volatile private var cachedKey: String = ""
+  def materializeExtract(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    synchronized {
+      val key = s"${corpusSize(dir)}"
+      if (cachedKey != key) {
+        import s.implicits._
+        SyntheticCorpus.generate(s, corpusSize(dir), partitions = 7)
+          .mapPartitions(Extractor.run(_))
+          .select(col("url"), col("ok"), col("markdown"),
+                  col("blocks_kept"), col("blocks_dropped"),
+                  size(col("spans")).as("n_spans"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(oracleCachePath)
+        cachedKey = key
+      }
+    }
+
   /** Full pipeline over the synthetic Common-Crawl-style corpus
     * (BASELINE.json input_hint shape), aggregated per page family.
+    * Oracle: DuckDB aggregates the independently materialized extraction
+    * pass (see [[materializeExtract]]) — bit-exact or the extractor is
+    * nondeterministic across parallelism.
     */
   val qxExtractCorpus = QueryDef(
     "qx_extract_corpus",
     (s, dir) => {
       import s.implicits._
+      materializeExtract(s, dir)
       SyntheticCorpus.generate(s, corpusSize(dir))
         .mapPartitions(Extractor.run(_))
         .withColumn("family", split(col("url"), "/").getItem(3))
@@ -79,7 +115,17 @@ object ExtractQueries {
         )
         .orderBy("family")
     },
-    None
+    Some(s"""
+      SELECT split_part(url, '/', 4) AS family,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             CAST(sum(blocks_kept) AS BIGINT) AS blocks_kept,
+             CAST(sum(blocks_dropped) AS BIGINT) AS blocks_dropped,
+             CAST(sum(n_spans) AS BIGINT) AS n_spans,
+             CAST(sum(len(markdown)) AS BIGINT) AS md_chars
+      FROM read_parquet('$oracleCachePath/*.parquet')
+      GROUP BY 1 ORDER BY family
+    """.trim)
   )
 
   /** Span detail with offsets (north-rule unit), under the oracle gate:
@@ -125,19 +171,27 @@ object ExtractQueries {
   )
 
   /** Per-document markdown fingerprints over the synthetic corpus — the
-    * determinism witness (same values at any parallelism).
+    * determinism witness (same values at any parallelism). Oracle: DuckDB
+    * computes md5/len over the independently materialized pass (7-way
+    * generation) — every url's markdown must hash identically.
     */
   val qxExtractHashes = QueryDef(
     "qx_extract_hashes",
     (s, dir) => {
       import s.implicits._
+      materializeExtract(s, dir)
       SyntheticCorpus.generate(s, corpusSize(dir))
         .mapPartitions(Extractor.run(_))
         .select(col("url"), col("ok"), md5(to_binary(col("markdown"), lit("utf-8"))).as("md_hash"),
                 length(col("markdown")).as("md_len"))
         .orderBy("url")
     },
-    None
+    Some(s"""
+      SELECT url, ok, md5(markdown) AS md_hash,
+             CAST(len(markdown) AS INT) AS md_len
+      FROM read_parquet('$oracleCachePath/*.parquet')
+      ORDER BY url
+    """.trim)
   )
 
   /** The same byte-exact oracle as qx_extract_plain, but through the
