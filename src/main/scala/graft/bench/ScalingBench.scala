@@ -412,8 +412,13 @@ object ScalingBench {
         "",
         s"Generated by `graft.bench.ScalingBench $nPages $lo $hi ${latest.rounds.length}`.",
         "")).mkString("\n")
+      // r4 advice: when EVERY round's paired ratio is a burst artifact,
+      // publish null — never the smallest insane ratio — so a consumer
+      // reading best_paired_efficiency without checking the artifact
+      // flag cannot mistake a burst number for a measurement.
+      val bestPaired = latest.bestSaneOpt.map(b => f"$b%.3f").getOrElse("null")
       val json =
-        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"best_paired_efficiency":${latest.bestSaneOpt.getOrElse(latest.perRound.min)}%.3f,"best_paired_is_artifact":${latest.bestSaneOpt.isEmpty},"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"gate_runs_passed":$gatePassed,"spread_pct":$spreadPct%.1f}"""
+        f"""{"scaling_efficiency":${latest.efficiency}%.3f,"cpu_ceiling":${latest.ceiling}%.3f,"lo_docs_per_sec":${latest.loBest}%.1f,"hi_docs_per_sec":${latest.hiBest}%.1f,"best_paired_efficiency":$bestPaired,"best_paired_is_artifact":${latest.bestSaneOpt.isEmpty},"identical_output":$latestIdentical,"identical_all_runs":$allIdentical,"runs_stored":${runs.length},"gate_runs_passed":$gatePassed,"spread_pct":$spreadPct%.1f}"""
       Out(md, json, latestIdentical, latest.efficiency, latest.ceiling)
     }
 

@@ -480,11 +480,13 @@ object Dedup {
   private val SubB2 = 257L
   private val SubP2 = 2147483629L
 
-  /** All SubK-token window hashes of a text, in document order — the
-    * integer-exact core shared by the batch q52 operator and the
-    * streaming window-claim filter (EventStreams.windowClaimsStream).
-    * NULL/short texts yield no windows. */
-  private[graft] def windowHashesScala(text: String): Array[Long] = {
+  /** Windowwise O(n·K) reference form of the window hashes — retained
+    * as the property-test twin of the O(n) rolling recurrence in
+    * [[windowHashesScala]] (same values by the Rabin–Karp identity;
+    * WindowHashSpec asserts equality on random and adversarial token
+    * streams, so the production path can never drift from the spec
+    * form the DuckDB oracle replays). */
+  private[graft] def windowHashesWindowwise(text: String): Array[Long] = {
     val toks = if (text == null) Array.empty[String] else TextOps.tokensScala(text)
     val n = toks.length
     if (n < SubK) Array.empty
@@ -512,14 +514,67 @@ object Dedup {
     }
   }
 
+  /** All SubK-token window hashes of a text, in document order — the
+    * integer-exact core shared by the batch q52 operator and the
+    * streaming window-claim filter (EventStreams.windowClaimsStream).
+    * NULL/short texts yield no windows.
+    *
+    * O(n) Horner/Rabin–Karp rolling recurrence (the r4-verdict upgrade
+    * from the windowwise O(n·K) stand-in): slide by subtracting the
+    * departing feature times B^(K-1) and appending the arriving one,
+    * per modulus. All intermediates stay under 2^62 (operands < 2^31,
+    * one product per step), so the arithmetic is exact in a Long —
+    * identical values to [[windowHashesWindowwise]] on every input.
+    * For SubK=16 this is a ~8× hot-loop saving; the point at 100 TB is
+    * asymptotic: per-token cost becomes independent of window length,
+    * so widening K (stricter duplication) no longer multiplies the
+    * shingling CPU. */
+  private[graft] def windowHashesScala(text: String): Array[Long] = {
+    val toks = if (text == null) Array.empty[String] else TextOps.tokensScala(text)
+    val n = toks.length
+    if (n < SubK) Array.empty
+    else {
+      val f1 = new Array[Long](n)
+      val f2 = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val raw = TextOps.wordFeatureScala(toks(i))
+        f1(i) = raw % SubP1
+        f2(i) = raw % SubP2
+        i += 1
+      }
+      // B^(K-1) mod P — the departing-term weight
+      var bk1 = 1L; var bk2 = 1L
+      var j = 1
+      while (j < SubK) { bk1 = (bk1 * SubB1) % SubP1; bk2 = (bk2 * SubB2) % SubP2; j += 1 }
+      val out = new Array[Long](n - SubK + 1)
+      var h1 = f1(0); var h2 = f2(0)
+      j = 1
+      while (j < SubK) {
+        h1 = (h1 * SubB1 + f1(j)) % SubP1
+        h2 = (h2 * SubB2 + f2(j)) % SubP2
+        j += 1
+      }
+      out(0) = h1 * 2147483648L + h2
+      var p = 1
+      while (p + SubK <= n) {
+        h1 = (((h1 - (f1(p - 1) * bk1) % SubP1 + SubP1) % SubP1) * SubB1 + f1(p + SubK - 1)) % SubP1
+        h2 = (((h2 - (f2(p - 1) * bk2) % SubP2 + SubP2) % SubP2) * SubB2 + f2(p + SubK - 1)) % SubP2
+        out(p) = h1 * 2147483648L + h2
+        p += 1
+      }
+      out
+    }
+  }
+
   /** Duplicated-SUBSTRING detection — the training-data dedup family
     * document-level near-dup (MinHash/SimHash) cannot see: two mostly
     * different documents sharing one verbatim boilerplate passage
     * (licence block, navigation stub, copied paragraph). Every SubK-
     * token window gets an order-sensitive polynomial hash of the
-    * engine-agnostic word features (Rabin-Karp form; computed
-    * windowwise here — the incremental O(n) rolling recurrence yields
-    * the same values and is the shape for very long documents); a
+    * engine-agnostic word features (Rabin-Karp form, computed by the
+    * O(n) rolling recurrence in [[windowHashesScala]] — property-
+    * tested identical to the windowwise spec form the oracle replays); a
     * window whose hash also appears in ANOTHER document marks
     * cross-document duplication, reported per doc as a duplicated-
     * window fraction. Inspired by Lee et al., "Deduplicating Training

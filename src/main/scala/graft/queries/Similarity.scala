@@ -260,9 +260,17 @@ object Similarity {
     * the MaxBroadcastCells cap — the "trained codebook of bounded size"
     * contract that makes a driver-side codebook legitimate at any corpus
     * scale. */
-  private[queries] def collectCents(cTable: org.apache.spark.sql.DataFrame): Array[(Long, Array[Double])] =
-    cTable.orderBy("cid").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  private[queries] def collectCents(cTable: org.apache.spark.sql.DataFrame): Array[(Long, Array[Double])] = {
+    // ASSERTED, not just documented (r4 verdict): fetch one row past the
+    // cap and refuse, so a misconfigured codebook fails loudly instead
+    // of silently collecting a 10^6-row table onto the driver — the
+    // limit also bounds driver memory on the violating path itself.
+    val rows = cTable.orderBy("cid").limit(MaxBroadcastCells.toInt + 1).collect()
+    require(rows.length <= MaxBroadcastCells,
+      s"codebook exceeds the bounded-broadcast contract (> $MaxBroadcastCells cells); " +
+        "use the centroid-table join plan / two-level (q41) ladder instead of a driver collect")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
 
   private final case class Assigned(vec_id: Long, embedding: Array[Float],
                                     home: Long, probes: Array[Long], nrm: Double)

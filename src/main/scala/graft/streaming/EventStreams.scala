@@ -160,7 +160,19 @@ object EventStreams {
     * novel=true; a late duplicate of ANY on-time doc (even one whose
     * stream state expired long ago) lands novel=false. Returns claim
     * rows shaped like the sink's; classify with [[classifyClaims]]
-    * over the late-doc universe. Null-safe band equality (<=>) so
+    * over the late-doc universe.
+    *
+    * CALL CONTRACT (r4 advice): because the exclusion in (a) removes
+    * only the CURRENT `lateDocs` set's sink claims, there are exactly
+    * two sound call patterns — (1) one invocation over the COMPLETE
+    * late-doc universe, or (2) multiple passes where each pass's
+    * returned claim rows are appended to the `claims` sink before the
+    * next pass. Under (2) an earlier pass's reconciled claims count as
+    * settled non-late claims and correctly block later passes (two
+    * late duplicates of each other split across passes resolve
+    * first-pass-wins). Calling twice over split late sets WITHOUT
+    * folding outputs back violates the contract: both halves of a
+    * cross-pass duplicate pair could be awarded the same bands. Null-safe band equality (<=>) so
     * NULL-text late docs compete against the sink's NULL bands instead
     * of slipping past them. Scale shape: the late set is small by
     * construction (watermark stragglers); the anti-joins shuffle on

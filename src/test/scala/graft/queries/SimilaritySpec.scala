@@ -83,4 +83,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"expected rank-limit pushdown:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"), s"centroid table should broadcast:\n$p")
   }
+
+  test("collectCents refuses a codebook past the bounded-broadcast cap") {
+    import spark.implicits._
+    val over = spark.range(Similarity.MaxBroadcastCells + 1)
+      .selectExpr("id AS cid", "array(CAST(id AS DOUBLE)) AS ce")
+    val e = intercept[IllegalArgumentException] { Similarity.collectCents(over) }
+    assert(e.getMessage.contains("bounded-broadcast contract"))
+    // exactly at the cap still collects (the contract boundary is inclusive)
+    val atCap = spark.range(4).selectExpr("id AS cid", "array(CAST(id AS DOUBLE)) AS ce")
+    assert(Similarity.collectCents(atCap).length == 4)
+  }
 }

@@ -285,6 +285,29 @@ class EventStreamsSpec extends AnyFunSuite {
       s"reconciliation verdicts wrong: $recovered")
   }
 
+  test("reconcileLate multi-pass contract: folded-back outputs block cross-pass duplicates") {
+    import spark.implicits._
+    val dupText = "identical late straggler text repeated by two documents arriving in different passes"
+    // empty sink: no on-time doc holds these bands
+    val sink0 = Seq.empty[(Long, Int, Option[Long])].toDF("doc_id", "band_idx", "band_val")
+    val late1 = Seq((10L, dupText)).toDF("doc_id", "text")
+    val r1 = EventStreams.reconcileLate(sink0, late1)
+    assert(EventStreams.classifyClaims(r1, late1).collect().head.getBoolean(2),
+      "first-pass late unique must recover novel=true")
+    val late2 = Seq((20L, dupText)).toDF("doc_id", "text")
+    // sound pattern (2): pass-1 outputs appended to the sink count as
+    // settled non-late claims — the cross-pass duplicate is blocked
+    val r2 = EventStreams.reconcileLate(sink0.unionByName(r1), late2)
+    val v2 = EventStreams.classifyClaims(r2, late2).collect().head
+    assert(!v2.getBoolean(2) && v2.getLong(1) == 0L,
+      s"cross-pass duplicate must lose all bands under fold-back, got $v2")
+    // the contract violation the doc comment warns about: without
+    // fold-back, the second pass re-awards the same bands
+    val r2bad = EventStreams.reconcileLate(sink0, late2)
+    assert(EventStreams.classifyClaims(r2bad, late2).collect().head.getBoolean(2),
+      "without fold-back the duplicate is (wrongly) re-awarded — the documented hazard")
+  }
+
   test("streaming window claims: copied text loses its windows, fresh text claims") {
     import spark.implicits._
     def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
