@@ -277,8 +277,11 @@ object BlockSegmenter {
           case c: DomElem if c.tag == "td" || c.tag == "th" =>
             val cs = c.attr("colspan").flatMap(_.toIntOption).getOrElse(1).max(1).min(100)
             val rs = c.attr("rowspan").flatMap(_.toIntOption).getOrElse(1).max(1).min(100)
-            val al = c.attr("align").orElse(styleAlign(c)).map(_.head.toLower).filter("lcr".contains(_)).getOrElse('l')
-            BCell(inlines(c.children, ids), cs, rs, al, c.tag == "th")
+            val alOpt = c.attr("align").orElse(styleAlign(c)).orElse(classAlign(c))
+              .map(_.head.toLower).filter("lcr".contains(_))
+            val (bt, bb, bl, br) = borderSpec(c)
+            BCell(inlines(c.children, ids), cs, rs, alOpt.getOrElse('l'), c.tag == "th",
+              bt, bb, bl, br, alignSet = alOpt.isDefined)
         }.toVector
       def scan(n: DomElem): Unit = n.children.foreach {
         case tr: DomElem if tr.tag == "tr" => val r = rowOf(tr); if (r.nonEmpty) rows += r
@@ -400,6 +403,43 @@ object BlockSegmenter {
     val st = e.attrs.getOrElse("style", "").toLowerCase
     val m = "text-align\\s*:\\s*(left|center|right)".r.findFirstMatchIn(st)
     m.map(_.group(1))
+  }
+
+  /** Alignment from LaTeXML-style classes (`ltx_align_center` etc.) —
+    * the reference's Spec.set_align source (document.py:411-437); the
+    * first class containing "align" decides, substring-matched. Justify
+    * maps to center: our cell align is a Char, so the reference's
+    * `p{width}` form (style-dependent) collapses to its own None-style
+    * fallback 'c' (document.py:427-430). */
+  private def classAlign(e: DomElem): Option[String] = {
+    e.classes.find(_.contains("align")).map { a =>
+      if (a.contains("center")) "center"
+      else if (a.contains("left")) "left"
+      else if (a.contains("right")) "right"
+      else "center" // justify / unknown → reference warns + centers
+    }
+  }
+
+  /** Border sizes from `*border_*` classes, per Spec.set_border
+    * (document.py:439-444): the class-suffix after the FIRST "border_"
+    * names the side by its first char, and the suffix LENGTH is the
+    * rule count (`ltx_border_tt` → t=2 → "\\hline \\hline"). */
+  private def borderSpec(e: DomElem): (Int, Int, Int, Int) = {
+    var t = 0; var b = 0; var l = 0; var r = 0
+    e.classes.foreach { cls =>
+      val i = cls.indexOf("border_")
+      if (i >= 0) {
+        val o = cls.substring(i + 7)
+        if (o.nonEmpty) o.charAt(0) match {
+          case 't' => t = o.length
+          case 'b' => b = o.length
+          case 'l' => l = o.length
+          case 'r' => r = o.length
+          case _   => ()
+        }
+      }
+    }
+    (t, b, l, r)
   }
 
   def rawText(n: DomNode): String = n match {

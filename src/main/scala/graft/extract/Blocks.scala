@@ -41,9 +41,17 @@ final case class BRefList(items: Vector[BRefItem]) extends Block
   * "[n]"/"n." marker, else the 1-based position. */
 final case class BRefItem(id: String, label: String, inlines: Vector[Inline])
 
-/** align: 'l' | 'c' | 'r'; colspan/rowspan ≥ 1. */
+/** align: 'l' | 'c' | 'r'; colspan/rowspan ≥ 1. `alignSet` records
+  * whether the alignment was explicit in the HTML (attr/style/class) —
+  * the reference's Spec treats unset align as "" for column-spec voting
+  * and prints it as 'c' (document.py:404,458). bt/bb/bl/br are border
+  * "sizes" per the reference's Spec.set_border (document.py:439-444):
+  * the length of the `ltx_border_` class suffix whose first char names
+  * the side — 0 means no rule, 2 (`ltx_border_tt`) a double rule. */
 final case class BCell(inlines: Vector[Inline], colspan: Int, rowspan: Int,
-                       align: Char, header: Boolean)
+                       align: Char, header: Boolean,
+                       bt: Int = 0, bb: Int = 0, bl: Int = 0, br: Int = 0,
+                       alignSet: Boolean = false)
 
 /** Per-document segmentation counters (north_star metrics). */
 final case class SegStats(blocksKept: Int, blocksDropped: Int)

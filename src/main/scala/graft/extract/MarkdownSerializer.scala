@@ -112,7 +112,161 @@ object MarkdownSerializer {
       lines.mkString("\n")
     }
 
+    /** Reference-faithful serialization for tables that carry cell
+      * border specs (`ltx_border_*`): \hline/\cline runs from per-cell
+      * t/b sizes (document.py:561-597 `_hline`), multirow squaring with
+      * the t/b disabling quirk (document.py:643-658), majority column
+      * Spec per CELL index with |-borders, and \multicolumn{1}
+      * conversion of disagreeing cells (document.py:660-693) — where
+      * Spec identity is (l, r, align) ONLY, because the reference
+      * compares dataclass reprs and t/b carry repr=False
+      * (document.py:399-409). Output pinned byte-exactly against
+      * goldens produced by RUNNING the reference's document.py
+      * (BorderedTableSpec). Borderless tables keep the legacy
+      * markdown-flavoured rendering byte-identical.
+      */
+    final class GCell(var content: String, var colspan: Int, var multirow: Int,
+                      val align: Char, val alignSet: Boolean,
+                      var bt: Int, var bb: Int, val bl: Int, val br: Int,
+                      var multicol: Boolean) {
+      def specKey: (Int, Int, String) = (bl, br, if (alignSet) align.toString else "")
+      def specStr: String = "|" * bl + (if (alignSet) align.toString else "c") + "|" * br
+      def isMultiTagged: Boolean = colspan > 1 || multirow > 1
+    }
+
+    def borderedTable(t: BTable): String = {
+      import scala.collection.mutable.ArrayBuffer
+      val rows: ArrayBuffer[ArrayBuffer[GCell]] = ArrayBuffer(t.rows.map { row =>
+        ArrayBuffer(row.map { c =>
+          val content0 = escapeAmp(inl(c.inlines, spans = false).trim)
+          val content = if (c.header && content0.nonEmpty) "\\bf " + content0 else content0
+          new GCell(content, c.colspan, c.rowspan, c.align, c.alignSet,
+            c.bt, c.bb, c.bl, c.br, multicol = false)
+        }: _*)
+      }: _*)
+      // _square_table (document.py:643-658): a multirow master loses its
+      // bottom rule; placeholder cells (inserted at the master's CELL
+      // index in each spanned row, one per spanned column) copy the spec
+      // with t=0 and the master's ORIGINAL b (the copy is taken before
+      // the master is zeroed — reference line order)
+      var i = 0
+      while (i < rows.length) {
+        var j = 0
+        while (j < rows(i).length) {
+          val cell = rows(i)(j)
+          if (cell.multirow > 1) {
+            val phB = cell.bb
+            cell.bb = 0
+            var k = i + 1
+            while (k < rows.length && k < i + cell.multirow) {
+              var n = 0
+              while (n < cell.colspan) {
+                rows(k).insert(j, new GCell("", 1, 1, cell.align, cell.alignSet,
+                  0, phB, cell.bl, cell.br, multicol = false))
+                n += 1
+              }
+              k += 1
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      // majority Spec per CELL index (document.py:660-675): zip rows by
+      // cell position; only plain cells (no colspan/rowspan) with an
+      // EXPLICIT align vote; identity is (l, r, align); Python's
+      // max(counts, key=get) tie-breaks to the first-inserted key
+      val width = rows.map(_.map(_.colspan).sum).maxOption.getOrElse(0)
+      val nCellCols = rows.map(_.length).maxOption.getOrElse(0)
+      val defaultKey = (0, 0, "")
+      val colKeys = Array.fill(math.max(width, nCellCols))(defaultKey)
+      var ci = 0
+      while (ci < nCellCols) {
+        val counts = scala.collection.mutable.LinkedHashMap.empty[(Int, Int, String), Int]
+        rows.foreach { r =>
+          if (ci < r.length) {
+            val c = r(ci)
+            if (c.alignSet && !c.isMultiTagged)
+              counts.update(c.specKey, counts.getOrElse(c.specKey, 0) + 1)
+          }
+        }
+        if (counts.nonEmpty) {
+          var bestK = defaultKey; var bestN = -1
+          counts.foreach { case (k, n) => if (n > bestN) { bestK = k; bestN = n } }
+          colKeys(ci) = bestK
+        }
+        ci += 1
+      }
+      // convert disagreeing cells to \multicolumn{1}{spec} (677-693):
+      // contentless cells whose l/r match the column pass through
+      ci = 0
+      while (ci < nCellCols) {
+        rows.foreach { r =>
+          if (ci < r.length) {
+            val c = r(ci)
+            if (c.specKey != colKeys(ci) &&
+                !(c.content.isEmpty && c.bl == colKeys(ci)._1 && c.br == colKeys(ci)._2) &&
+                c.colspan == 1)
+              c.multicol = true
+          }
+        }
+        ci += 1
+      }
+      def keyStr(k: (Int, Int, String)): String =
+        "|" * k._1 + (if (k._3.isEmpty) "c" else k._3) + "|" * k._2
+      // " ".join + the two pipe-collapapse regexes (document.py:691-693)
+      val specLine = (0 until width).map(c => keyStr(colKeys(c))).mkString(" ")
+        .replaceAll("(\\|) +(\\w)", "$1$2")
+        .replaceAll("(\\w) +(\\|)", "$1$2")
+      // per-row \hline/\cline runs (document.py:561-586): expand each
+      // cell's t (or b) by its colspan, find the maximal non-zero runs;
+      // a run covering the row's whole width emits \hline times the
+      // first value (double rules), anything narrower \cline{a-b}
+      def hline(row: ArrayBuffer[GCell], f: GCell => Int): String = {
+        val lines = row.toSeq.flatMap(c => Seq.fill(c.colspan)(f(c)))
+        val rowWidth = lines.length
+        val runs = ArrayBuffer.empty[(Int, Int)]
+        var start = -1
+        var p = 0
+        while (p <= rowWidth) {
+          val v = if (p < rowWidth) lines(p) else 0
+          if (v != 0 && start < 0) start = p
+          else if (start >= 0 && v == 0) { runs += ((start, p - 1)); start = -1 }
+          p += 1
+        }
+        runs.map { case (a, b) =>
+          if (b - a + 1 == rowWidth) "\\hline " * lines(0)
+          else s"\\cline{${a + 1}-${b + 1}} "
+        }.mkString.trim
+      }
+      def fmtCell(c: GCell): String = {
+        var s = c.content
+        if (c.multirow > 1) s = s"\\multirow{${c.multirow}}{*}{$s}"
+        if (c.colspan > 1 || c.multicol) s = s"\\multicolumn{${c.colspan}}{${c.specStr}}{$s}"
+        s
+      }
+      val sb = new java.lang.StringBuilder(256)
+      sb.append("\\begin{table}\n\\begin{tabular}{").append(specLine).append("}\n")
+      rows.foreach { row =>
+        val above = hline(row, _.bt)
+        val below = hline(row, _.bb)
+        if (above.nonEmpty) sb.append(above).append('\n')
+        sb.append(row.map(fmtCell).mkString(" & ")).append(" \\\\")
+        if (below.nonEmpty) sb.append(' ').append(below)
+        sb.append('\n')
+      }
+      sb.append("\\end{tabular}\n\\end{table}")
+      val cap = inl(t.caption, spans = false).trim
+      if (cap.nonEmpty) sb.append('\n').append(cap)
+      sb.toString
+    }
+
     def tableBody(t: BTable): String = {
+      // any cell-border spec switches to the reference-faithful
+      // \hline/\cline serialization; borderless HTML keeps the legacy
+      // markdown-flavoured form byte-identical
+      if (t.rows.exists(_.exists(c => c.bt > 0 || c.bb > 0 || c.bl > 0 || c.br > 0)))
+        return borderedTable(t)
       // column count = max expanded width (document.py:604-697 _square_table analog)
       val ncols = t.rows.map(_.map(_.colspan).sum).maxOption.getOrElse(0).min(64)
       // majority alignment per column (document.py:660-693)

@@ -228,6 +228,52 @@ object TexNormalizer {
     'ℰ' -> "\\mathcal{E} ",
     'ℏ' -> "\\hbar ", '′' -> "'", '″' -> "''", '…' -> "\\ldots ",
     '·' -> "\\cdot ", '°' -> "^{\\circ}",
+    // letterlike-symbols fills for the BMP "holes" of the U+1D4xx math
+    // alphabets (the reference reaches these via pylatexenc,
+    // latex_conversion.py:54-56; Unicode assigned them first, so the
+    // styled blocks below skip their positions)
+    'ℬ' -> "\\mathcal{B} ", 'ℱ' -> "\\mathcal{F} ", 'ℐ' -> "\\mathcal{I} ",
+    'ℳ' -> "\\mathcal{M} ", 'ℛ' -> "\\mathcal{R} ",
+    'ℯ' -> "\\mathcal{e} ", 'ℊ' -> "\\mathcal{g} ", 'ℴ' -> "\\mathcal{o} ",
+    'ℭ' -> "\\mathfrak{C} ", 'ℌ' -> "\\mathfrak{H} ", 'ℨ' -> "\\mathfrak{Z} ",
+    'ℍ' -> "\\mathbb{H} ", 'ℎ' -> "\\mathit{h} ", '℧' -> "\\mho ",
+    // long/diagonal/harpoon arrow tail (latex_conversion.py pylatexenc
+    // coverage; standard amsmath/amssymb names)
+    '⟶' -> "\\longrightarrow ", '⟵' -> "\\longleftarrow ",
+    '⟷' -> "\\longleftrightarrow ", '⟹' -> "\\Longrightarrow ",
+    '⟸' -> "\\Longleftarrow ", '⟺' -> "\\Longleftrightarrow ",
+    '⟼' -> "\\longmapsto ",
+    '↗' -> "\\nearrow ", '↘' -> "\\searrow ", '↖' -> "\\nwarrow ",
+    '↙' -> "\\swarrow ", '↕' -> "\\updownarrow ", '⇕' -> "\\Updownarrow ",
+    '⇄' -> "\\rightleftarrows ", '⇆' -> "\\leftrightarrows ",
+    '⇌' -> "\\rightleftharpoons ", '⇋' -> "\\leftrightharpoons ",
+    '↠' -> "\\twoheadrightarrow ", '↞' -> "\\twoheadleftarrow ",
+    '↣' -> "\\rightarrowtail ", '↢' -> "\\leftarrowtail ",
+    '⇝' -> "\\rightsquigarrow ", '↝' -> "\\leadsto ",
+    '↭' -> "\\leftrightsquigarrow ", '⇢' -> "\\dashrightarrow ",
+    '⇠' -> "\\dashleftarrow ", '↷' -> "\\curvearrowright ",
+    '↶' -> "\\curvearrowleft ", '↺' -> "\\circlearrowleft ",
+    '↻' -> "\\circlearrowright ", '⇁' -> "\\rightharpoondown ",
+    '↽' -> "\\leftharpoondown ",
+    // boxed/circled operators, joins, triangles, negated relations
+    '≀' -> "\\wr ", '⊖' -> "\\ominus ", '⊘' -> "\\oslash ", '⊙' -> "\\odot ",
+    '⊛' -> "\\circledast ", '⊚' -> "\\circledcirc ",
+    '⊞' -> "\\boxplus ", '⊟' -> "\\boxminus ", '⊠' -> "\\boxtimes ",
+    '⊡' -> "\\boxdot ", '⋈' -> "\\bowtie ", '⋉' -> "\\ltimes ",
+    '⋊' -> "\\rtimes ", '⊲' -> "\\vartriangleleft ", '⊳' -> "\\vartriangleright ",
+    '⊴' -> "\\trianglelefteq ", '⊵' -> "\\trianglerighteq ",
+    '⋄' -> "\\diamond ", '◊' -> "\\lozenge ", '□' -> "\\square ",
+    '■' -> "\\blacksquare ", '∎' -> "\\blacksquare ", '△' -> "\\triangle ",
+    '▽' -> "\\bigtriangledown ", '∆' -> "\\Delta ",
+    '⋮' -> "\\vdots ", '⋯' -> "\\cdots ", '⋱' -> "\\ddots ",
+    '∡' -> "\\measuredangle ", '∦' -> "\\nparallel ", '≁' -> "\\nsim ",
+    '≉' -> "\\napprox ", '≇' -> "\\ncong ", '≢' -> "\\nequiv ",
+    '≰' -> "\\nleq ", '≱' -> "\\ngeq ", '⊀' -> "\\nprec ", '⊁' -> "\\nsucc ",
+    '∋' -> "\\ni ", '⊄' -> "\\nsubset ", '⊅' -> "\\nsupset ",
+    '⊬' -> "\\nvdash ", '⊭' -> "\\nvDash ", '≜' -> "\\triangleq ",
+    '∐' -> "\\coprod ", '⨄' -> "\\biguplus ", '⋀' -> "\\bigwedge ",
+    '⋁' -> "\\bigvee ", '⨆' -> "\\bigsqcup ", '∯' -> "\\oiint ",
+    'ϝ' -> "\\digamma ",
     // accented latin (pylatexenc-style, braces pre-stripped) and quotes
     // (\textquote* replacements, latex_conversion.py:94-98)
     'ä' -> "\\\"a", 'ö' -> "\\\"o", 'ü' -> "\\\"u",
@@ -239,20 +285,60 @@ object TexNormalizer {
     '’' -> "'", '‘' -> "'", '“' -> "\"", '”' -> "\"",
     '\u2009' -> " ") // thin space (latex_conversion.py:102)
 
+  /** Mathematical Alphanumeric Symbols (U+1D400–1D7FF) — the bulk of
+    * the pylatexenc tail the reference reaches through
+    * `toascii.unicode_to_latex` (latex_conversion.py:54-56,76-86).
+    * Generated by range: each style block is a contiguous A–Z a–z run
+    * whose "holes" are the Letterlike Symbols Unicode assigned earlier
+    * in the BMP (those are literal entries in [[uni2tex]] above), so
+    * e.g. 𝒜 → \mathcal{A} while ℬ (the reserved 1D49D slot) maps from
+    * its U+212C form. Astral codepoints, hence the Int-keyed map and
+    * the code-point walk in [[unicodeToLatex]]. */
+  private val mathAlnum: Map[Int, String] = {
+    val m = Map.newBuilder[Int, String]
+    def letters(base: Int, cmd: String, skip: Set[Int] = Set.empty): Unit =
+      for (k <- 0 until 52; cp = base + k; if !skip.contains(cp)) {
+        val ch = if (k < 26) ('A' + k).toChar else ('a' + (k - 26)).toChar
+        m += cp -> s"\\$cmd{$ch} "
+      }
+    letters(0x1D400, "mathbf")
+    letters(0x1D434, "mathit", skip = Set(0x1D455)) // ℎ = U+210E
+    letters(0x1D49C, "mathcal", skip = Set(0x1D49D, 0x1D4A0, 0x1D4A1, 0x1D4A3,
+      0x1D4A4, 0x1D4A7, 0x1D4A8, 0x1D4AD, 0x1D4BA, 0x1D4BC, 0x1D4C4))
+    letters(0x1D504, "mathfrak", skip = Set(0x1D506, 0x1D50B, 0x1D50C, 0x1D515, 0x1D51D))
+    letters(0x1D538, "mathbb", skip = Set(0x1D53A, 0x1D53F, 0x1D545, 0x1D547,
+      0x1D548, 0x1D549, 0x1D551))
+    letters(0x1D5A0, "mathsf")
+    letters(0x1D670, "mathtt")
+    def digits(base: Int, cmd: String): Unit =
+      for (k <- 0 until 10) m += (base + k) -> s"\\$cmd{$k} "
+    digits(0x1D7CE, "mathbf")
+    digits(0x1D7D8, "mathbb")
+    digits(0x1D7F6, "mathtt")
+    m.result()
+  }
+
+  private val uni2texCp: Map[Int, String] =
+    mathAlnum ++ uni2tex.map { case (c, s) => (c.toInt, s) }
+
   def unicodeToLatex(tex: String): String = {
     var any = false
     var i = 0
-    while (i < tex.length && !any) { if (uni2tex.contains(tex.charAt(i))) any = true; i += 1 }
+    while (i < tex.length && !any) {
+      val cp = tex.codePointAt(i)
+      if (uni2texCp.contains(cp)) any = true
+      i += Character.charCount(cp)
+    }
     if (!any) return tex
     val sb = new java.lang.StringBuilder(tex.length + 16)
     i = 0
     while (i < tex.length) {
-      val c = tex.charAt(i)
-      uni2tex.get(c) match {
+      val cp = tex.codePointAt(i)
+      uni2texCp.get(cp) match {
         case Some(rep) => sb.append(rep)
-        case None => sb.append(c)
+        case None => sb.appendCodePoint(cp)
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.toString.replaceAll(" {2,}", " ").trim
   }
