@@ -40,14 +40,24 @@ object Bench {
       (name, sec, n)
     }
 
-    // headline: extraction throughput over the synthetic pages corpus
+    // headline: extraction throughput over the synthetic pages corpus.
+    // Best-of-3 with an untimed warmup (r4 verdict: the single ~2.5 s
+    // sample ate a host burst and published 12k docs/s while the SAME
+    // invocation's 1M-page scaling block measured 298k/s — short runs
+    // need the same best-of discipline the scaling levels use).
     val nPages = graft.queries.ExtractQueries.corpusSize(sfDir)
-    val t0 = System.nanoTime()
     import spark.implicits._
-    val nOk = graft.gen.SyntheticCorpus.generate(spark, nPages)
-      .mapPartitions(graft.extract.Extractor.run(_))
-      .filter(_.ok).count()
-    val extractSec = (System.nanoTime() - t0) / 1e9
+    def extractOnce(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.gen.SyntheticCorpus.generate(spark, nPages)
+        .mapPartitions(graft.extract.Extractor.run(_))
+        .filter(_.ok).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    extractOnce() // warmup: codegen + C2 for this exact plan
+    val extractSamples = (1 to 3).map(_ => extractOnce())
+    val nOk = extractSamples.head._2
+    val extractSec = extractSamples.map(_._1).min
     val docsPerSec = nPages / extractSec
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }

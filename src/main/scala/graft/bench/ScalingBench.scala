@@ -388,6 +388,12 @@ object ScalingBench {
         "Multi-JVM (separate-executor-process) evidence for the same",
         "rule is in BENCH/CLUSTER.md.",
         "",
+        "Bench's sf-dir `extract_docs_per_sec` headline uses the same",
+        "discipline since r5: one untimed warmup, then best-of-3 timed",
+        "samples (a single short sample eaten by a host burst published",
+        "12k docs/s in r4 while the same invocation's scaling block",
+        "measured 298k/s).",
+        "",
         runTables,
         "## Across runs",
         "",
