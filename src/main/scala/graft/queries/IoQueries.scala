@@ -66,5 +66,34 @@ object IoQueries {
     """.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(q43JsonlRoundtrip, q47BucketedJoin)
+  /** External-process connector (SURVEY S7, pdffigures.py:19-71 twin)
+    * under the oracle gate: every document pipes through a REAL
+    * /bin/cat worker subprocess (base64 line framing, per-doc timeout,
+    * restart-on-fault) and the round-tripped text is hashed. The
+    * oracle hashes the parquet source directly, and the query emits
+    * only ok rows — a single lost, corrupted, or faulted doc breaks
+    * the row-count or hash compare. md5 runs over UTF-8 bytes on both
+    * engines, so the gate needs no ASCII contract.
+    */
+  val qxPipeCat = QueryDef(
+    "qx_pipe_cat",
+    (s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      graft.io.ExternalProcess.pipe(docs, "doc_id", "text", Seq("/bin/cat"))
+        .filter(_.ok)
+        .toDF()
+        .select(col("doc_id"),
+          md5(to_binary(col("out"), lit("utf-8"))).as("text_md5"),
+          length(col("out")).as("n_chars_out"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, md5(text) AS text_md5,
+             CAST(length(text) AS INT) AS n_chars_out
+      FROM documents ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q43JsonlRoundtrip, q47BucketedJoin, qxPipeCat)
 }
