@@ -75,5 +75,71 @@ object CorpusQueries {
     """.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(q34TemplateScrub)
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub — the C4/CCNet-style redaction pass every published
+    * web-corpus pipeline runs before training: emails, phone numbers
+    * and IPv4 addresses replaced by typed sentinels. Deterministic PII
+    * is injected into every document inside the query on BOTH engines
+    * (the synthetic corpus carries none), so the oracle gates the
+    * redaction chain itself: per-class match counts taken before the
+    * scrub plus the md5 of the scrubbed text. Patterns use only the
+    * regex intersection of Java (Spark) and RE2 (DuckDB) — character
+    * classes, bounded repetition, ASCII \b — no lookaround, which RE2
+    * lacks. Replacement order is email → phone → IP so the email's
+    * host dots can never be re-matched as an address fragment.
+    *
+    * Scale shape: map-only over the corpus scan — three codegen'd
+    * regexp_replace + two regexp_extract_all per row, no shuffle, no
+    * UDF; the ungated-regex-scan hazard the extraction pipeline
+    * documents does not apply because every row is expected to match.
+    */
+  val q56PiiScrub = QueryDef(
+    "q56_pii_scrub",
+    (s, dir) => {
+      val aug = concat(
+        col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org from 10."), (col("doc_id") % 200).cast("string"),
+        lit("."), (col("doc_id") % 251).cast("string"),
+        lit(".9 call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" done"))
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(aug, EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>"),
+          IpPat, "<IP>")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(regexp_extract_all(aug, lit(EmailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(aug, lit(PhonePat), lit(0))).as("n_phones"),
+          md5(to_binary(scrubbed, lit("utf-8"))).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' reach user' || doc_id || '@mail' || (doc_id % 7)
+               || '.example.org from 10.' || (doc_id % 200) || '.' || (doc_id % 251)
+               || '.9 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' done' AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+             md5(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_md5
+      FROM aug ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q34TemplateScrub, q56PiiScrub)
 }

@@ -655,7 +655,82 @@ object Dedup {
     """.trim)
   )
 
+  /** Benchmark DECONTAMINATION — the training-data hygiene pass that
+    * protects evaluation integrity (GPT-3 App. C / Lee et al. 2022
+    * both decontaminate by n-gram overlap): any training document
+    * sharing a SubK-token window with a held-out benchmark document is
+    * flagged before training. Here the "benchmark" is the deterministic
+    * doc_id % 17 slice of the corpus (in production a separate small
+    * table); windows are the SAME Rabin–Karp double-modulus hashes as
+    * q52 — one shared core, one oracle arithmetic.
+    *
+    * Scale shape: benchmarks are MBs while the corpus is TBs, so the
+    * benchmark side is filtered AT THE SCAN (pushed predicate), its
+    * distinct window hashes are broadcast, and the training side
+    * resolves contamination in its own map-side pipeline with a
+    * broadcast left join — no corpus shuffle at all before the per-doc
+    * rollup (PlanAuditSpec asserts the broadcast). Flagged docs carry
+    * counts, not just a bit, so thresholded policies (drop vs
+    * span-redact) stay downstream decisions.
+    */
+  val q57Decontam = QueryDef(
+    "q57_decontam",
+    (s, dir) => {
+      import s.implicits._
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            windowHashesScala(text).iterator.map(h => (id, h))
+          })
+          .toDF("doc_id", "h")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val benchHashes = grams(docs.filter(col("doc_id") % 17 === 0))
+        .select("h").distinct().withColumn("hit", lit(1L))
+      val train = docs.filter(col("doc_id") % 17 =!= 0)
+      val perDoc = grams(train)
+        .join(broadcast(benchHashes), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      train.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("n_contaminated"), lit(0L)) > 0).cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      fl AS (SELECT doc_id,
+                    list_transform(toks, w -> (length(w) * 31 + ascii(substring(w, 1, 1))) % $SubP1) AS fs1,
+                    list_transform(toks, w -> (length(w) * 31 + ascii(substring(w, 1, 1))) % $SubP2) AS fs2,
+                    len(toks) AS n
+             FROM t),
+      pos AS (SELECT doc_id, fs1, fs2, unnest(generate_series(1, n - ${SubK - 1})) AS i
+              FROM fl WHERE n >= $SubK),
+      sh AS (SELECT doc_id,
+                    list_reduce(fs1[i : i + ${SubK - 1}], (a, b) -> (a * $SubB1 + b) % $SubP1) * 2147483648
+                    + list_reduce(fs2[i : i + ${SubK - 1}], (a, b) -> (a * $SubB2 + b) % $SubP2) AS h
+             FROM pos),
+      bg AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),
+      pd AS (SELECT s2.doc_id,
+                    count(*) AS n_windows,
+                    CAST(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+             FROM sh s2 LEFT JOIN bg ON s2.h = bg.h
+             WHERE s2.doc_id % 17 <> 0
+             GROUP BY s2.doc_id)
+      SELECT d.doc_id,
+             coalesce(pd.n_windows, 0) AS n_windows,
+             coalesce(pd.n_contaminated, 0) AS n_contaminated,
+             CAST(CASE WHEN coalesce(pd.n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      WHERE d.doc_id % 17 <> 0
+      ORDER BY d.doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q18ExactDedup, q19MinhashSig, q20LshBuckets, q21Simhash, q22JaccardPairs,
-    q38DedupClusters, q42BandClaims, q52DupSubstrings)
+    q38DedupClusters, q42BandClaims, q52DupSubstrings, q57Decontam)
 }

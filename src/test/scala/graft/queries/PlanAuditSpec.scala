@@ -111,6 +111,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan must read only doc_id:\n$p")
   }
 
+  test("q57: benchmark hashes broadcast; benchmark filter pushed to its scan") {
+    // run at sf0.01 — at sf0.001 the %17 slice can be empty
+    val p = graft.SparkEntry.queries("q57_decontam")(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark hash set must broadcast (corpus side never shuffles for it):\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)]") || p.contains("(doc_id"),
+      s"the %17 benchmark slice should filter at/near its scan:\n$p")
+  }
+
+  test("q56: PII scrub is map-only — no shuffle before the final sort") {
+    val p = plan("q56_pii_scrub")
+    assert(!p.contains("HashAggregate") && !p.contains("hashpartitioning"),
+      s"the scrub must be a pure projection over the scan:\n$p")
+  }
+
   test("extraction scan prunes to url column for the resume anti-join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan_audit").toString
