@@ -280,6 +280,60 @@ object EventStreams {
           .otherwise(round(col("n_claimed") / col("n_distinct"), 6)))
   }
 
+  /** Distinct window hashes of a (small) benchmark table, collected and
+    * sorted for broadcast — the static side of [[decontamStream]]. The
+    * driver collect is the same bounded-by-design shape as the ANN
+    * codebook collect: benchmarks are MBs against a TB corpus (10^6
+    * grams ≈ 8 MB as packed longs); a "benchmark" approaching corpus
+    * size should run the batch q57 audit instead.
+    */
+  def benchmarkHashes(docs: DataFrame, textCol: String = "text"): Array[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol).cast("string")).as[Option[String]]
+      .mapPartitions(_.flatMap(t =>
+        graft.queries.Dedup.windowHashesScala(t.orNull).iterator))
+      .distinct().collect().sorted
+  }
+
+  /** Streaming DECONTAMINATION gate — the ingest twin of the batch q57
+    * audit, sharing its window-hash core: every arriving document is
+    * scored against a fixed benchmark hash set (from
+    * [[benchmarkHashes]]) and flagged before it can enter a training
+    * corpus. Stateless by construction — the benchmark set is a sorted
+    * broadcast array probed by binary search per window, so the query
+    * needs no watermark, no state store, works in append mode, and a
+    * document's verdict never depends on arrival order (unlike the
+    * claim streams, there is no first-wins race: contamination is a
+    * property of the document against a FIXED set). NULL/short texts
+    * carry zero windows and flag clean, matching the batch twin.
+    */
+  def decontamStream(pages: DataFrame, benchHashes: Array[Long],
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val sorted = benchHashes.clone()
+    java.util.Arrays.sort(sorted)
+    val bc = spark.sparkContext.broadcast(sorted)
+    pages
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, Option[String])]
+      .mapPartitions { it =>
+        val arr = bc.value
+        it.map { case (id, t) =>
+          val hs = graft.queries.Dedup.windowHashesScala(t.orNull)
+          var c = 0L
+          var i = 0
+          while (i < hs.length) {
+            if (java.util.Arrays.binarySearch(arr, hs(i)) >= 0) c += 1
+            i += 1
+          }
+          (id, hs.length.toLong, c, c > 0)
+        }
+      }
+      .toDF(idCol, "n_windows", "n_contaminated", "contaminated")
+  }
+
   /** Custom session state via flatMapGroupsWithState: a user's session
     * closes after `gapMs` of inactivity — either when a later event
     * arrives past the gap, or when the processing-time timeout fires

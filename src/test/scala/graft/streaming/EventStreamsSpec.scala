@@ -401,4 +401,47 @@ class EventStreamsSpec extends AnyFunSuite {
     // one row per distinct content: alpha, beta, gamma
     assert(out.toSeq == Seq("alpha", "beta", "gamma"))
   }
+
+  test("streaming decontamination equals the batch q57 twin and catches an injected leak") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (benchId, benchText) = base.find(_._1 % 17 == 0).get
+    assert(graft.queries.Dedup.windowHashesScala(benchText).nonEmpty,
+      "fixture benchmark doc must be long enough to carry windows")
+    // inject a verbatim benchmark leak into a TRAINING doc
+    val docs = base.map { case (id, t) =>
+      if (id == benchId + 1) (id, benchText) else (id, t)
+    }
+    val corpusDir = java.nio.file.Files.createTempDirectory("decon_corpus")
+    docs.toSeq.toDF("doc_id", "text")
+      .write.parquet(corpusDir.toString + "/documents.parquet")
+    val batch = graft.queries.Dedup.q57Decontam.fn(spark, corpusDir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3) == 1))
+      .sortBy(_._1).toSeq
+    // static side: benchmark slice hashes; stream side: the training docs
+    val bench = EventStreams.benchmarkHashes(
+      docs.filter(_._1 % 17 == 0).toSeq.toDF("doc_id", "text"))
+    val trainDir = java.nio.file.Files.createTempDirectory("decon_train").toString + "/t"
+    docs.filter(_._1 % 17 != 0).toSeq.toDF("doc_id", "text")
+      .write.parquet(trainDir)
+    val schema = spark.read.parquet(trainDir).schema
+    val stream = spark.readStream.schema(schema).parquet(trainDir)
+    val q = EventStreams.decontamStream(stream, bench)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.awaitTermination(60000); q.stop()
+    val streamed = spark.table("decon_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"stream and batch decontamination diverged:\nstream=$streamed\nbatch =$batch")
+    assert(streamed.exists(_._4), "the injected leak must be flagged")
+    assert(streamed.count(_._4) >= 1 &&
+      streamed.find(_._1 == benchId + 1).exists(_._4),
+      "the verbatim-copy training doc must be contaminated")
+  }
 }
