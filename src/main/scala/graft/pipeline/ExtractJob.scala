@@ -75,7 +75,11 @@ object ExtractJob {
         sum(size(col("spans")).cast("long")).as("span_total")
       )
     // materialize lineage rows BEFORE the rename publishes the batch —
-    // the metrics plan reads the staging dir, which stops existing
+    // the metrics plan reads the staging dir, which stops existing.
+    // Scale bound: ONE 7-field row per input partition, so the collect
+    // is O(partitions-per-batch), not O(rows) — callers must keep the
+    // per-batch partition count bounded (split a 10^6-partition corpus
+    // into batches), which resume-by-anti-join makes natural
     val mRows = metrics.as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
     val totals = (mRows.map(_._2).sum, mRows.map(_._4).sum)
 
