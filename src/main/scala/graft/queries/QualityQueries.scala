@@ -165,5 +165,43 @@ object QualityQueries {
     """.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(q44GopherRules, q45NgramRepetition, q46TopBigrams)
+  /** Corpus length-distribution profile — the percentile/sketch family
+    * (every corpus report leads with per-language length quantiles;
+    * Gopher table A1, C4 §2). EXACT linear-interpolated quantiles
+    * (SQL PERCENTILE_CONT semantics, rank (n-1)·p — the same
+    * definition Spark `percentile` and DuckDB `quantile_cont` share)
+    * per language, oracle-gated; rounded to 4 dp so engine-private
+    * last-ulp interpolation noise cannot break the hash compare while
+    * any real quantile error still does. The 100 TB path is the
+    * MERGEABLE-SKETCH twin of this query — approx_percentile (KLL-ish
+    * bounded-memory, single pass) and approx_count_distinct (HLL++) —
+    * whose accuracy against these exact values is pinned by
+    * SketchAccuracySpec rather than an oracle (sketch internals are
+    * engine-specific by design, so cross-engine bit-equality is the
+    * wrong gate for them).
+    */
+  val q58LenQuantiles = QueryDef(
+    "q58_len_quantiles",
+    (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_len"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_len"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_len"),
+          max(col("n_chars")).as("max_len"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             min(n_chars) AS min_len,
+             round(quantile_cont(n_chars, 0.5), 4) AS p50_len,
+             round(quantile_cont(n_chars, 0.9), 4) AS p90_len,
+             max(n_chars) AS max_len
+      FROM documents GROUP BY lang ORDER BY lang
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q44GopherRules, q45NgramRepetition, q46TopBigrams,
+    q58LenQuantiles)
 }
