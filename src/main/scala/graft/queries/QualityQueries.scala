@@ -202,6 +202,50 @@ object QualityQueries {
     """.trim)
   )
 
+  /** Deterministic content-keyed sampling + train/val/test splitting.
+    * Production corpus splits must be REPRODUCIBLE (a re-run of the
+    * pipeline cannot reshuffle examples between train and test) and
+    * LEAKAGE-PROOF (two byte-identical documents must never straddle
+    * the split boundary). Seeded RNG sampling gives neither — the
+    * assignment here is keyed on the content fingerprint (q16's
+    * position-weighted engine-agnostic hash), so identical texts land
+    * in identical splits by construction, and the whole operator is a
+    * stateless map over the scan: no shuffle, no seed, no driver
+    * state, embarrassingly scalable. The 10% sample decision uses a
+    * different modulus over an affine re-mix of the fingerprint so it
+    * is not a residue-slice of the split decision (decisions from one
+    * hash must re-mix or they correlate).
+    */
+  val q59SplitSample = QueryDef(
+    "q59_split_sample",
+    (s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val terms = transform(t, (w, i) => (i.cast("long") + 1L) * TextOps.wordFeature(w))
+      val fp = pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+      val bucket = pmod(fp, lit(100L))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"),
+          (pmod(fp * 31L + 7L, lit(997L)) < 100L).cast("int").as("in_sample"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                    (w, i) -> i * (length(w) * 31 + ascii(substring(w, 1, 1))))) AS BIGINT)
+                    % 1000000007 AS BIGINT) AS fp
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN fp % 100 < 80 THEN 'train'
+                  WHEN fp % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(CASE WHEN (fp * 31 + 7) % 997 < 100 THEN 1 ELSE 0 END AS INT) AS in_sample
+      FROM f ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(q44GopherRules, q45NgramRepetition, q46TopBigrams,
-    q58LenQuantiles)
+    q58LenQuantiles, q59SplitSample)
 }
