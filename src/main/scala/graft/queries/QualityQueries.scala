@@ -246,6 +246,62 @@ object QualityQueries {
     """.trim)
   )
 
+  /** Corpus MIXTURE assembly — per-source downsampling rates (the
+    * Pile/Dolma mixing step: each source contributes a configured
+    * fraction of its documents to the training mix). Rates here derive
+    * arithmetically from the source id ((idx mod 4 + 1)/4 → 25/50/75/
+    * 100%) so the fixture works at every sf; selection within a source
+    * is content-keyed (lowest q16 fingerprint first, doc_id
+    * tie-break) — the same reproducibility/leakage argument as q59,
+    * and re-running with a larger corpus keeps previously selected
+    * documents selected unless the quota shrinks.
+    *
+    * Scale shape: one shuffle on source for the per-source rank
+    * window. A dominant source makes that window's sort the straggler;
+    * the 100 TB variant replaces exact ranking with a fingerprint
+    * THRESHOLD per source (quota/n_s quantile of fp, from the q58
+    * sketch) — a map-only filter with approximately-exact quotas. The
+    * exact-rank form is the oracle-checkable contract.
+    */
+  val q60Mixture = QueryDef(
+    "q60_mixture",
+    (s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val terms = transform(t, (w, i) => (i.cast("long") + 1L) * TextOps.wordFeature(w))
+      val fp = pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+      val srcIdx = substring(col("source"), 4, 10).cast("long")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), fp.as("fp"),
+          (pmod(srcIdx, lit(4L)) + 1L).as("rate4"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("fp"), col("doc_id"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("quota", floor(count(lit(1)).over(n) * col("rate4") / 4L))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               CAST(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                    (w, i) -> i * (length(w) * 31 + ascii(substring(w, 1, 1))))) AS BIGINT)
+                    % 1000000007 AS BIGINT) AS fp,
+               (CAST(substring(source, 4) AS BIGINT) % 4) + 1 AS rate4
+        FROM documents),
+      r AS (
+        SELECT doc_id, source, rate4,
+               row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_src
+        FROM f)
+      SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= (n_src * rate4) // 4
+      ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(q44GopherRules, q45NgramRepetition, q46TopBigrams,
-    q58LenQuantiles, q59SplitSample)
+    q58LenQuantiles, q59SplitSample, q60Mixture)
 }
