@@ -14,9 +14,14 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    val rounds = args.headOption.flatMap(_.toIntOption).getOrElse(3)
+    // rounds is OPTIONAL: only consume args(0) as rounds when it parses
+    // as an int, so `QueryProbe q52 q57` probes both queries instead of
+    // silently dropping the first name
+    val roundsOpt = args.headOption.flatMap(_.toIntOption)
+    val rounds = roundsOpt.getOrElse(3)
+    val nameArgs = if (roundsOpt.isDefined) args.drop(1).toSeq else args.toSeq
     val names =
-      if (args.length > 1) args.drop(1).toSeq
+      if (nameArgs.nonEmpty) nameArgs
       else Seq("q40_trained_recall", "q49_probe_sweep")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -161,7 +161,11 @@ object MarkdownSerializer {
             while (k < rows.length && k < i + cell.multirow) {
               var n = 0
               while (n < cell.colspan) {
-                rows(k).insert(j, new GCell("", 1, 1, cell.align, cell.alignSet,
+                // Python's list.insert clamps an out-of-range index to
+                // append (ragged rows are common in hand-written HTML);
+                // ArrayBuffer.insert throws — clamp to match document.py:656
+                rows(k).insert(math.min(j, rows(k).length),
+                  new GCell("", 1, 1, cell.align, cell.alignSet,
                   0, phB, cell.bl, cell.br, multicol = false))
                 n += 1
               }
@@ -215,9 +219,9 @@ object MarkdownSerializer {
       def keyStr(k: (Int, Int, String)): String =
         "|" * k._1 + (if (k._3.isEmpty) "c" else k._3) + "|" * k._2
       // " ".join + the two pipe-collapapse regexes (document.py:691-693)
-      val specLine = (0 until width).map(c => keyStr(colKeys(c))).mkString(" ")
-        .replaceAll("(\\|) +(\\w)", "$1$2")
-        .replaceAll("(\\w) +(\\|)", "$1$2")
+      val specLine = pPipeRight.matcher(
+        pPipeLeft.matcher((0 until width).map(c => keyStr(colKeys(c))).mkString(" "))
+          .replaceAll("$1$2")).replaceAll("$1$2")
       // per-row \hline/\cline runs (document.py:561-586): expand each
       // cell's t (or b) by its colspan, find the maximal non-zero runs;
       // a run covering the row's whole width emits \hline times the
@@ -424,6 +428,8 @@ object MarkdownSerializer {
     lead + mark + core + mark + trail
   }
 
+  private val pPipeLeft = java.util.regex.Pattern.compile("(\\|) +(\\w)")
+  private val pPipeRight = java.util.regex.Pattern.compile("(\\w) +(\\|)")
   private val pBareAmp = java.util.regex.Pattern.compile("(?<!\\\\)&")
   private def escapeAmp(s: String): String =
     if (s.indexOf('&') < 0) s else pBareAmp.matcher(s).replaceAll("\\\\&")

@@ -104,14 +104,28 @@ object ExternalProcess {
     */
   private final case class Eof(exit: Option[Int])
 
+  /** Live workers, reaped at JVM shutdown: outside a Spark task (no
+    * TaskContext listener) a partially consumed iterator would
+    * otherwise leak its child process past the JVM's lifetime.
+    */
+  private val liveWorkers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Worker]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      liveWorkers.forEach(w => w.close())
+    }, "extproc-reaper"))
+  }
+
   private final class Worker(
       cmd: Seq[String], timeoutMs: Long, maxRestarts: Int, base64: Boolean) {
+    liveWorkers.add(this)
     private var proc: Process = _
     private var stdin: java.io.BufferedWriter = _
     private var queue: java.util.concurrent.LinkedBlockingQueue[AnyRef] = _
     private var readerThread: Thread = _
     private var started = 0
     private var dead = true
+    @volatile private var closed = false
     private val enc = java.util.Base64.getEncoder
     private val dec = java.util.Base64.getDecoder
     private val writeExec = java.util.concurrent.Executors.newSingleThreadExecutor(
@@ -157,13 +171,20 @@ object ExternalProcess {
       dead = true
     }
 
-    def close(): Unit = { kill(); writeExec.shutdownNow(); () }
+    def close(): Unit = {
+      closed = true; kill(); writeExec.shutdownNow()
+      liveWorkers.remove(this); ()
+    }
 
     def run(doc: (Long, Option[String])): PipedDoc = {
       val (id, textOpt) = doc
       def fault(timedOut: Boolean, exit: Option[Int]) =
         PipedDoc(id, None, ok = false, timed_out = timedOut, exit = exit,
           attempts = started)
+      // a closed worker (task ended / caller closed early) faults the
+      // doc instead of throwing RejectedExecutionException from the
+      // shut-down write executor
+      if (closed) return fault(timedOut = false, exit = None)
       textOpt match {
         case None => fault(timedOut = false, exit = None)
         case Some(text) if !base64 && (text.indexOf('\n') >= 0 || text.indexOf('\r') >= 0) =>

@@ -76,7 +76,9 @@ object ExtractQueries {
   @volatile private var cachedKey: String = ""
   def materializeExtract(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     synchronized {
-      val key = s"${corpusSize(dir)}"
+      // key on dir AND size: two fixture dirs sharing the fallback size
+      // must not reuse each other's materialized oracle parquet
+      val key = s"$dir|${corpusSize(dir)}"
       if (cachedKey != key) {
         import s.implicits._
         SyntheticCorpus.generate(s, corpusSize(dir), partitions = 7)

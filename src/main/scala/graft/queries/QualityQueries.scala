@@ -219,15 +219,32 @@ object QualityQueries {
   val q59SplitSample = QueryDef(
     "q59_split_sample",
     (s, dir) => {
-      val t = TextOps.tokens(col("text"))
-      val terms = transform(t, (w, i) => (i.cast("long") + 1L) * TextOps.wordFeature(w))
-      val fp = pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(1000000007L))
-      val bucket = pmod(fp, lit(100L))
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
+      import s.implicits._
+      // fingerprint computed ONCE in a typed map (TextOps Scala twins of
+      // the q16 column arithmetic): the column form would re-embed the
+      // interpreted tokenize+fold HOF into all three consumers (two
+      // when-branches + the sample mix) — the CollapseProject/no-CSE
+      // hazard CLAUDE.md documents. Null text propagates as null fp,
+      // exactly like the SQL chain.
+      val fp = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, Option[String])]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, t.map { txt =>
+            var acc = 0L
+            val toks = TextOps.tokensScala(txt)
+            var i = 0
+            while (i < toks.length) {
+              acc += (i + 1L) * TextOps.wordFeatureScala(toks(i)); i += 1
+            }
+            ((acc % 1000000007L) + 1000000007L) % 1000000007L
+          })
+        })
+        .toDF("doc_id", "fp")
+      val bucket = pmod(col("fp"), lit(100L))
+      fp.select(col("doc_id"),
           when(bucket < 80, "train").when(bucket < 90, "val")
             .otherwise("test").as("split"),
-          (pmod(fp * 31L + 7L, lit(997L)) < 100L).cast("int").as("in_sample"))
+          (pmod(col("fp") * 31L + 7L, lit(997L)) < 100L).cast("int").as("in_sample"))
         .orderBy("doc_id")
     },
     Some("""

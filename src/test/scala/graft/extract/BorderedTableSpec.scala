@@ -92,4 +92,16 @@ class BorderedTableSpec extends AnyFunSuite {
     assert(body(html) == expected(
       "\\begin{tabular}{c c}\n\\hline\nm1 & m2 \\\\\nm3 & m4 \\\\\n\\end{tabular}"))
   }
+
+  test("ragged rowspan: placeholder index past the short row clamps to append (list.insert parity)") {
+    // r5 review regression: Python's list.insert clamps an out-of-range
+    // index, ArrayBuffer.insert threw — a whole-page extraction failure
+    // on ragged bordered tables. Golden from the reference model:
+    // row 2 has ONE cell while the rowspan master sits at index 2.
+    val html =
+      s"<tr>${td("a", "ltx_align_left ltx_border_t")}${td("b", "ltx_align_left")}${td("c", "ltx_align_left", " rowspan=\"2\"")}</tr>" +
+        s"<tr>${td("d", "ltx_align_left")}</tr>"
+    assert(body(html) == expected(
+      "\\begin{tabular}{l l c}\n\\cline{1-1}\na & b & \\multicolumn{1}{l}{\\multirow{2}{*}{c}} \\\\\nd &  \\\\\n\\end{tabular}"))
+  }
 }
