@@ -27,7 +27,7 @@ object TextOps {
     * vs DuckDB, and \x0B is out of contract for the corpus (the
     * extraction ingest strips control chars).
     */
-  private[queries] def tokensScala(s: String): Array[String] = {
+  private[graft] def tokensScala(s: String): Array[String] = {
     var b = 0
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
@@ -40,7 +40,7 @@ object TextOps {
     * ONE definition every typed-map hash path shares (minhash,
     * simhash, window hashes); a feature change applied anywhere else
     * would silently diverge the oracles of whichever path was missed. */
-  private[queries] def wordFeatureScala(w: String): Long =
+  private[graft] def wordFeatureScala(w: String): Long =
     31L * w.length + (if (w.isEmpty) 0L else w.codePointAt(0).toLong)
 
   /** Deterministic per-word feature: 31*len + code of first char —
