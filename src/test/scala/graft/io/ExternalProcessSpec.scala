@@ -90,6 +90,20 @@ class ExternalProcessSpec extends AnyFunSuite {
     assert(rs(2).ok && rs(2).out.contains("out:clean"))
   }
 
+  test("oversized doc: a payload far beyond the pipe buffer round-trips (no write/read deadlock)") {
+    // 2 MB >> the 64 KB OS pipe buffer: without the reader thread
+    // draining stdout concurrently, cat blocks writing its echo while
+    // we block writing input — the classic subprocess deadlock. Random
+    // content defeats any compression-like shortcuts; seed fixed.
+    val rnd = new scala.util.Random(42)
+    val big = new String(Array.fill(2 * 1024 * 1024)((32 + rnd.nextInt(95)).toChar))
+    val rs = ExternalProcess.pipePartition(
+      docs(1L -> big, 2L -> "small after big"),
+      Seq("/bin/cat"), timeoutMs = 60000, maxRestarts = 1, base64 = true).toList
+    assert(rs(0).ok && rs(0).out.get == big, "2 MB doc must round-trip byte-exactly")
+    assert(rs(1).ok && rs(1).out.contains("small after big"))
+  }
+
   test("Dataset path: documents pipe through cat with no shuffle, one row per doc") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0, 64).select(col("id").as("doc_id"),
