@@ -348,9 +348,71 @@ object Relational {
     """.trim)
   )
 
+  /** BATCH sessionization — the oracle-gated audit twin of the
+    * streaming `EventStreams.sessionize` (flatMapGroupsWithState):
+    * same gap rule (a session merges events whose inter-arrival gap is
+    * ≤ 30 min; strictly greater starts a new one), same (ts, event_id)
+    * tie order, expressed as the classic gaps-and-islands window chain
+    * so an independent engine replays it bit-exactly. The stream emits
+    * sessions incrementally (closed on gap or idle timeout); this
+    * query derives the complete final session set — the shape used to
+    * AUDIT a streaming sessionizer's state handling after the fact.
+    *
+    * Scale: two stacked windows on the same (user_id) partitioning —
+    * one Exchange, both window passes pipelined — then the session
+    * rollup reuses that partitioning (no second shuffle on user_id).
+    * Exact decimal sums for the value total.
+    */
+  val q61Sessions = QueryDef(
+    "q61_sessions",
+    (s, dir) => {
+      val gapUs = 30L * 60L * 1000000L
+      val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // parquet NTZ timestamp → epoch micros; sessions run UTC so the
+      // NTZ→TZ cast is identity wall-clock and matches DuckDB epoch_us
+      val tsu = unix_micros(col("ts").cast("timestamp"))
+      ev(s, dir)
+        .withColumn("new_session",
+          when(lag(tsu, 1).over(order).isNull ||
+            tsu - lag(tsu, 1).over(order) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_session")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("total_value"),
+          min(tsu).as("started_us"),
+          max(tsu).as("ended_us"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, value, tsu,
+               CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM o),
+      x AS (
+        SELECT user_id, value, tsu,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM m)
+      SELECT user_id, session_idx,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             min(tsu) AS started_us,
+             max(tsu) AS ended_us
+      FROM x GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01PricingAgg, q02FilterPushdown, q03JoinEnrich, q04AntiJoinResume,
     q05SemiJoin, q06WindowRunning, q07TopkPerGroup, q08LeadRuns,
-    q09Reassembly, q10Distinct, q11RegexFilter, q12KeyedZip, q30WindowVariance
+    q09Reassembly, q10Distinct, q11RegexFilter, q12KeyedZip, q30WindowVariance,
+    q61Sessions
   )
 }
