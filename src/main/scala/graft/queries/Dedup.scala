@@ -730,7 +730,63 @@ object Dedup {
     """.trim)
   )
 
+  /** Span-level decontamination hits — q57 tells you WHICH documents
+    * overlap the benchmark; this emits WHERE: the 0-based token index
+    * of every contaminated SubK-token window, so a pipeline can REDACT
+    * the leaked span (drop tokens [tok_start, tok_start+16)) instead
+    * of discarding the whole document — the usual policy when the leak
+    * is one quoted benchmark passage inside an otherwise-clean page.
+    * Same broadcast shape as q57: the corpus side stays map-side up to
+    * the final sort.
+    */
+  val q62DecontamSpans = QueryDef(
+    "q62_decontam_spans",
+    (s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val benchHashes = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (_, text) =>
+          windowHashesScala(text).iterator
+        })
+        .toDF("h").distinct()
+      val trainHits = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          windowHashesScala(text).iterator.zipWithIndex.map {
+            case (h, pos) => (id, pos.toLong, h)
+          }
+        })
+        .toDF("doc_id", "tok_start", "h")
+      trainHits
+        .join(broadcast(benchHashes), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("tok_start"))
+        .orderBy("doc_id", "tok_start")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      fl AS (SELECT doc_id,
+                    list_transform(toks, w -> (length(w) * 31 + ascii(substring(w, 1, 1))) % $SubP1) AS fs1,
+                    list_transform(toks, w -> (length(w) * 31 + ascii(substring(w, 1, 1))) % $SubP2) AS fs2,
+                    len(toks) AS n
+             FROM t),
+      pos AS (SELECT doc_id, fs1, fs2, unnest(generate_series(1, n - ${SubK - 1})) AS i
+              FROM fl WHERE n >= $SubK),
+      sh AS (SELECT doc_id, i,
+                    list_reduce(fs1[i : i + ${SubK - 1}], (a, b) -> (a * $SubB1 + b) % $SubP1) * 2147483648
+                    + list_reduce(fs2[i : i + ${SubK - 1}], (a, b) -> (a * $SubB2 + b) % $SubP2) AS h
+             FROM pos),
+      bg AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0)
+      SELECT s2.doc_id, CAST(s2.i - 1 AS BIGINT) AS tok_start
+      FROM sh s2 SEMI JOIN bg ON s2.h = bg.h
+      WHERE s2.doc_id % 17 <> 0
+      ORDER BY s2.doc_id, tok_start
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q18ExactDedup, q19MinhashSig, q20LshBuckets, q21Simhash, q22JaccardPairs,
-    q38DedupClusters, q42BandClaims, q52DupSubstrings, q57Decontam)
+    q38DedupClusters, q42BandClaims, q52DupSubstrings, q57Decontam,
+    q62DecontamSpans)
 }
