@@ -319,6 +319,69 @@ object QualityQueries {
     """.trim)
   )
 
+  /** Sequence PACKING — the step that turns a document corpus into
+    * fixed-budget training examples: documents are concatenated until
+    * the token budget (256 here — small enough that the test corpus genuinely overflows examples) is exhausted, then the next example
+    * starts (greedy contiguous packing, the standard pretraining
+    * shape). A single global packing order is a 100 TB smell (one
+    * total-order sort), so packing runs WITHIN 64 content-keyed
+    * buckets: each bucket packs independently (examples never cross
+    * buckets — example_id = bucket·2^32 + seq), which is exactly how a
+    * 1000-executor job lays out shards. Order within a bucket is
+    * (fingerprint, doc_id) — content-keyed, so packing is reproducible
+    * and independent of arrival order. Documents longer than the
+    * budget occupy ⌈n/256⌉ consecutive examples (their offset math
+    * still assigns the STARTING example; splitting the text itself is
+    * the tokenizer's job downstream).
+    */
+  val q64SeqPack = QueryDef(
+    "q64_seq_pack",
+    (s, dir) => {
+      import s.implicits._
+      val enriched = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, Option[String])]
+        .mapPartitions(_.map { case (id, t) =>
+          val toks = t.map(TextOps.tokensScala).getOrElse(Array.empty[String])
+          var acc = 0L
+          var i = 0
+          while (i < toks.length) {
+            acc += (i + 1L) * TextOps.wordFeatureScala(toks(i)); i += 1
+          }
+          val fp = ((acc % 1000000007L) + 1000000007L) % 1000000007L
+          (id, toks.length.toLong, fp, fp % 64L)
+        })
+        .toDF("doc_id", "n_tokens", "fp", "bucket")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("fp", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      enriched
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+          expr("bucket * 4294967296L + (cum - n_tokens) div 256L").as("example_id"),
+          expr("(cum - n_tokens) % 256L").as("offset_in_example"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                    (w, i) -> i * (length(w) * 31 + ascii(substring(w, 1, 1))))) AS BIGINT)
+                    % 1000000007 AS BIGINT) AS fp
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens, fp, fp % 64 AS bucket FROM f),
+      c AS (SELECT doc_id, bucket, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY bucket ORDER BY fp, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM b)
+      SELECT doc_id, bucket, n_tokens,
+             CAST(bucket * 4294967296 + (cum - n_tokens) // 256 AS BIGINT) AS example_id,
+             CAST((cum - n_tokens) % 256 AS BIGINT) AS offset_in_example
+      FROM c ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(q44GopherRules, q45NgramRepetition, q46TopBigrams,
-    q58LenQuantiles, q59SplitSample, q60Mixture)
+    q58LenQuantiles, q59SplitSample, q60Mixture, q64SeqPack)
 }
