@@ -70,22 +70,20 @@ object CorpusJob {
     val enriched = scrubbed.as[(String, String, String)]
       .mapPartitions(_.map { case (url, host, md) =>
         val toks = graft.queries.TextOps.tokensScala(md)
-        var acc = 0L
-        var i = 0
-        while (i < toks.length) {
-          acc += (i + 1L) * graft.queries.TextOps.wordFeatureScala(toks(i)); i += 1
-        }
-        val fp = ((acc % 1000000007L) + 1000000007L) % 1000000007L
-        (url, host, md, toks.length, fp)
+        (url, host, md, toks.length, graft.queries.TextOps.positionalFpOfTokens(toks))
       })
       .toDF("url", "host", "markdown", "n_tokens", "fp")
       .withColumn("k", md5(to_binary(col("markdown"), lit("utf-8"))))
 
-    val nIn = enriched.count()
+    // nIn is exactly the scrub stage's published count — never rescan
+    // (the ScrubJob convention); persist the deduped frame so its count
+    // and the final write share one tokenize pass and one dedup shuffle
+    val nIn = sc.docs
     val deduped = enriched
       .withColumn("rn", row_number().over(
         Window.partitionBy("k").orderBy("url")))
       .filter(col("rn") === 1).drop("rn")
+      .persist()
     val nDeduped = deduped.count()
     val kept = deduped.filter(col("n_tokens") >= minTokens)
 
@@ -102,6 +100,7 @@ object CorpusJob {
     val bySplit = staged.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nOut = bySplit.values.sum
+    deduped.unpersist()
     TableIO.replaceData(outDir, batchId)
 
     Summary(ex, sc, nOut, nIn - nDeduped, nDeduped - nOut,
@@ -120,6 +119,7 @@ object CorpusJob {
       .appName("graft-corpus")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

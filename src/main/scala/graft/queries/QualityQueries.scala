@@ -229,15 +229,7 @@ object QualityQueries {
       val fp = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).as[(Long, Option[String])]
         .mapPartitions(_.map { case (id, t) =>
-          (id, t.map { txt =>
-            var acc = 0L
-            val toks = TextOps.tokensScala(txt)
-            var i = 0
-            while (i < toks.length) {
-              acc += (i + 1L) * TextOps.wordFeatureScala(toks(i)); i += 1
-            }
-            ((acc % 1000000007L) + 1000000007L) % 1000000007L
-          })
+          (id, t.map(TextOps.positionalFpScala))
         })
         .toDF("doc_id", "fp")
       val bucket = pmod(col("fp"), lit(100L))
@@ -338,16 +330,15 @@ object QualityQueries {
     "q64_seq_pack",
     (s, dir) => {
       import s.implicits._
+      // NULL-text docs are excluded on BOTH sides (a NULL has no tokens
+      // to pack; fabricating a zero-token row would diverge from the
+      // SQL NULL chain — the q64 r5-review finding)
       val enriched = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text")).as[(Long, Option[String])]
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, t) =>
-          val toks = t.map(TextOps.tokensScala).getOrElse(Array.empty[String])
-          var acc = 0L
-          var i = 0
-          while (i < toks.length) {
-            acc += (i + 1L) * TextOps.wordFeatureScala(toks(i)); i += 1
-          }
-          val fp = ((acc % 1000000007L) + 1000000007L) % 1000000007L
+          val toks = TextOps.tokensScala(t)
+          val fp = TextOps.positionalFpOfTokens(toks)
           (id, toks.length.toLong, fp, fp % 64L)
         })
         .toDF("doc_id", "n_tokens", "fp", "bucket")
@@ -369,7 +360,7 @@ object QualityQueries {
                CAST(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
                     (w, i) -> i * (length(w) * 31 + ascii(substring(w, 1, 1))))) AS BIGINT)
                     % 1000000007 AS BIGINT) AS fp
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       b AS (SELECT doc_id, n_tokens, fp, fp % 64 AS bucket FROM f),
       c AS (SELECT doc_id, bucket, n_tokens,
                    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY fp, doc_id

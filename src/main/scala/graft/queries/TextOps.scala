@@ -43,6 +43,25 @@ object TextOps {
   private[graft] def wordFeatureScala(w: String): Long =
     31L * w.length + (if (w.isEmpty) 0L else w.codePointAt(0).toLong)
 
+  /** Scala twin of q16's positional fingerprint — Σ (i+1)·wordFeature
+    * mod 1e9+7 over the whitespace tokens. The ONE combiner every
+    * content-keyed decision (q59 splits, q64 packing order, CorpusJob
+    * assembly) shares; per the wordFeatureScala warning, a divergent
+    * copy would silently break the cross-operator leakage guarantees.
+    */
+  private[graft] def positionalFpScala(text: String): Long =
+    positionalFpOfTokens(tokensScala(text))
+
+  /** Token-array form for callers that already tokenized the row. */
+  private[graft] def positionalFpOfTokens(toks: Array[String]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc += (i + 1L) * wordFeatureScala(toks(i)); i += 1
+    }
+    ((acc % 1000000007L) + 1000000007L) % 1000000007L
+  }
+
   /** Deterministic per-word feature: 31*len + code of first char —
     * shared by fingerprint / minhash / simhash so the oracle can
     * replicate it arithmetically (no engine-specific hash functions).

@@ -18,7 +18,7 @@ object EventStreams {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class Session(user_id: Long, n_events: Int, total_value: Double,
-                           started_ms: Long, last_ms: Long)
+                           started_us: Long, last_us: Long)
 
   /** Watermarked sliding-window aggregation (event time). The source
     * column may arrive as TIMESTAMP_NTZ from parquet; watermarks require
@@ -335,13 +335,20 @@ object EventStreams {
   }
 
   /** Custom session state via flatMapGroupsWithState: a user's session
-    * closes after `gapMs` of inactivity — either when a later event
+    * closes after `gapUs` of inactivity — either when a later event
     * arrives past the gap, or when the processing-time timeout fires
     * (so idle users' final sessions are emitted and their state removed,
     * bounding the state store; the W6 rolling-state shape).
     * Late events merge without rewinding session boundaries.
+    *
+    * Gap arithmetic runs in event-time MICROSECONDS (Timestamp.getTime
+    * would truncate to millis and disagree with the batch q61 audit
+    * twin on boundary gaps — the r5-review finding); same (ts,
+    * event_id) tie order as q61.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60L * 1000000L): Dataset[Session] = {
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -353,18 +360,18 @@ object EventStreams {
             state.remove()
             done.iterator
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last_ms <= gapMs =>
+                case Some(s) if t - s.last_us <= gapUs =>
                   // merge; a LATE event must not rewind the boundaries
                   cur = Some(s.copy(n_events = s.n_events + 1,
                     total_value = s.total_value + e.value,
-                    started_ms = math.min(s.started_ms, t),
-                    last_ms = math.max(s.last_ms, t)))
+                    started_us = math.min(s.started_us, t),
+                    last_us = math.max(s.last_us, t)))
                 case Some(s) =>
                   out += s // gap exceeded: emit closed session
                   cur = Some(Session(userId, 1, e.value, t, t))
@@ -374,7 +381,7 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              state.setTimeoutDuration(gapUs / 1000L)
             }
             out.iterator
           }

@@ -73,11 +73,11 @@ class EventStreamsSpec extends AnyFunSuite {
       ev(4, 1, 140), ev(5, 1, 150),
       ev(6, 2, 5)
     ).toDS()
-    val closed = EventStreams.sessionize(events, gapMs = 30 * 60000L).collect()
+    val closed = EventStreams.sessionize(events, gapUs = 30L * 60L * 1000000L).collect()
     assert(closed.length == 1) // only user 1's first session closed
     val s = closed.head
     assert(s.user_id == 1 && s.n_events == 3 && s.total_value == 3.0)
-    assert(s.started_ms == 0 && s.last_ms == 20 * 60000L)
+    assert(s.started_us == 0 && s.last_us == 20L * 60L * 1000000L)
   }
 
   test("streaming near-dup band filter: a one-word edit loses its bands across batches") {
