@@ -95,5 +95,58 @@ object IoQueries {
     """.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(q43JsonlRoundtrip, q47BucketedJoin, qxPipeCat)
+  /** Corpus snapshot DIFF — the ops tool for comparing two corpus
+    * versions (what did the last pipeline run add / drop / change?),
+    * and the engine's FULL OUTER join coverage. Version B is derived
+    * from the documents table deterministically on both engines: docs
+    * with id % 13 == 0 are dropped, id % 7 == 0 have their text
+    * amended, and 50 fresh ids appear — so the diff exercises all four
+    * verdicts (added / removed / changed / same) with provable counts.
+    * At scale both sides are bucketed tables on the join key (q47's
+    * layout), so the full-outer plan is shuffle-free.
+    */
+  val q65CorpusDiff = QueryDef(
+    "q65_corpus_diff",
+    (s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val a = docs.select(col("doc_id"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("ha"))
+      val bText = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" [amended v2]"))).otherwise(col("text"))
+      val bOld = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), md5(to_binary(bText, lit("utf-8"))).as("hb"))
+      val bNew = s.range(1000000, 1000050).select(col("id").as("doc_id"),
+        md5(to_binary(concat(lit("fresh doc "), col("id")), lit("utf-8"))).as("hb"))
+      val b = bOld.unionByName(bNew)
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("same").as("status"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+      b_old AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [amended v2]' ELSE text END) AS hb
+        FROM documents WHERE doc_id % 13 <> 0),
+      b_new AS (
+        SELECT CAST(1000000 + i AS BIGINT) AS doc_id,
+               md5('fresh doc ' || (1000000 + i)) AS hb
+        FROM (SELECT unnest(generate_series(0, 49)) AS i)),
+      b AS (SELECT * FROM b_old UNION ALL SELECT * FROM b_new)
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.ha IS NULL THEN 'added'
+                  WHEN b.hb IS NULL THEN 'removed'
+                  WHEN a.ha <> b.hb THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q43JsonlRoundtrip, q47BucketedJoin, qxPipeCat,
+    q65CorpusDiff)
 }
