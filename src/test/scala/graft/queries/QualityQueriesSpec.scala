@@ -97,4 +97,32 @@ class QualityQueriesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"expected top-k via TakeOrderedAndProject, not a global sort:\n$p")
   }
+
+  test("positionalFpScala equals the q16 Column fingerprint on random corpora") {
+    // the ONE combiner every content-keyed decision shares (q16 column
+    // form, q59/q64 typed maps, CorpusJob assembly) — pinned here so a
+    // divergent edit to either side fails by name. Random ASCII plus
+    // the adversarial shapes: empty, single char, runs of spaces, long.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def randText(): String = {
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        if (rnd.nextInt(5) == 0) ' ' else (33 + rnd.nextInt(94)).toChar
+      }.mkString
+    }
+    val texts = Seq("", " ", "a", "  double  spaced  ", "x" * 500) ++
+      (1 to 200).map(_ => randText())
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val t = TextOps.tokens(col("text"))
+    val terms = transform(t, (w, i) => (i.cast("long") + 1L) * TextOps.wordFeature(w))
+    val colFp = pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+    val fromColumn = df.select(col("doc_id"), colFp.as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (txt, i) =>
+      assert(TextOps.positionalFpScala(txt) == fromColumn(i.toLong),
+        s"Scala/Column fingerprint diverged on ${txt.take(40).mkString}")
+    }
+  }
 }
