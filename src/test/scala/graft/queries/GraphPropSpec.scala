@@ -49,4 +49,28 @@ class GraphPropSpec extends AnyFunSuite {
       }
     }, n = 12)
   }
+
+  test("q63 pagerank: integer ranks match a sequential reference replay") {
+    // north-rule shape for the iterative operator: the distributed
+    // join+aggregate rounds must be bit-identical to a single-threaded
+    // replay of the same integer recurrence (partitioning independence
+    // is inherent — the only cross-partition op is an integer sum).
+    val dir = "/root/testdata/sf0.001"
+    val got = GraphQueries.q63Pagerank.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    // sequential replay
+    val edges = (0L until n).flatMap(src => (1 to 3).map(k =>
+      src -> ((src * src * 31L + 7L * k) % n)))
+    var rank = Array.fill(n.toInt)(1000000000000L)
+    for (_ <- 1 to 3) {
+      val in = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s, d) => in(d.toInt) += rank(s.toInt) / 3L }
+      rank = in.map(x => 150000000000L + (x * 85L) / 100L)
+    }
+    (0L until n).foreach { i =>
+      assert(got(i) == rank(i.toInt), s"rank mismatch at node $i")
+    }
+    assert(rank.distinct.length > 1, "fixture must produce non-uniform authority")
+  }
 }
