@@ -373,6 +373,95 @@ object QualityQueries {
     """.trim)
   )
 
+  /** BM25 lexical retrieval — the keyword-search counterpart to the ANN
+    * family (a corpus engine needs both): Okapi BM25 with k1=1.2,
+    * b=0.75 over a fixed 3-term query, top-20 by score. Term
+    * frequencies and document length come from ONE typed tokenize pass
+    * per doc; the corpus statistics (N, avgdl, per-term df) are a
+    * 1-row aggregate broadcast-cross-joined back, so the plan is scan →
+    * map → tiny agg → broadcast → score projection → top-k — no wide
+    * shuffle of term postings (the 100 TB inverted-index variant
+    * materializes postings once via q47's bucketed layout; this is the
+    * scan-scoring form used for ad-hoc audits). Double arithmetic is
+    * written in the IDENTICAL expression order on both engines and the
+    * score rounds to 6 dp so libm last-ulp ln() differences cannot
+    * break the hash compare; ties at the same rounded score break by
+    * doc_id.
+    */
+  val q66Bm25 = QueryDef(
+    "q66_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val terms = Seq("hash", "join", "filter")
+      val perDoc = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, tx) =>
+          val toks = TextOps.tokensScala(tx)
+          var t0 = 0L; var t1 = 0L; var t2 = 0L
+          var i = 0
+          while (i < toks.length) {
+            val w = toks(i)
+            if (w == "hash") t0 += 1
+            else if (w == "join") t1 += 1
+            else if (w == "filter") t2 += 1
+            i += 1
+          }
+          (id, toks.length.toLong, t0, t1, t2)
+        })
+        .toDF("doc_id", "dl", "tf0", "tf1", "tf2")
+      val stats = perDoc.agg(
+        count(lit(1)).as("n"),
+        sum(col("dl")).as("sumdl"),
+        sum((col("tf0") > 0).cast("long")).as("df0"),
+        sum((col("tf1") > 0).cast("long")).as("df1"),
+        sum((col("tf2") > 0).cast("long")).as("df2"))
+      def contrib(tf: String, df: String) = {
+        val idf = log(
+          (col("n").cast("double") - col(df) + 0.5) / (col(df) + 0.5) + 1.0)
+        val dlNorm = lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("dl").cast("double") / (col("sumdl").cast("double") / col("n")))
+        idf * (col(tf).cast("double") * 2.2) / (col(tf).cast("double") + dlNorm)
+      }
+      perDoc.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(contrib("tf0", "df0") + contrib("tf1", "df1") + contrib("tf2", "df2"), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      pd AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_filter(toks, w -> w = 'hash')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(toks, w -> w = 'join')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(toks, w -> w = 'filter')) AS BIGINT) AS tf2
+        FROM d),
+      st AS (
+        SELECT count(*) AS n, sum(dl) AS sumdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM pd)
+      SELECT doc_id,
+             round(
+               ln((CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                 * (CAST(tf0 AS DOUBLE) * 2.2)
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+               + ln((CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                 * (CAST(tf1 AS DOUBLE) * 2.2)
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+               + ln((CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                 * (CAST(tf2 AS DOUBLE) * 2.2)
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))),
+               6) AS score
+      FROM pd, st
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(q44GopherRules, q45NgramRepetition, q46TopBigrams,
-    q58LenQuantiles, q59SplitSample, q60Mixture, q64SeqPack)
+    q58LenQuantiles, q59SplitSample, q60Mixture, q64SeqPack, q66Bm25)
 }
