@@ -409,6 +409,11 @@ object QualityQueries {
           (id, toks.length.toLong, t0, t1, t2)
         })
         .toDF("doc_id", "dl", "tf0", "tf1", "tf2")
+        // persist barrier: the stats aggregate AND the scoring branch
+        // both consume perDoc — without it the corpus is scanned and
+        // tokenized twice (the q32 InMemoryTableScan-reuse pattern;
+        // Bench clears the cache between queries)
+        .persist()
       val stats = perDoc.agg(
         count(lit(1)).as("n"),
         sum(col("dl")).as("sumdl"),
