@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
       MultiModal.all ++ EvalQueries.all ++ ExtractQueries.all ++ CorpusQueries.all ++
       AlignQueries.all ++ IoQueries.all ++ QualityQueries.all ++ Skew.all ++
-      GraphQueries.all
+      GraphQueries.all ++ WebQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full HTML → markdown extraction over synthesized pages.

@@ -785,8 +785,96 @@ object Dedup {
     """.trim)
   )
 
+  /** CCNet-style paragraph-level dedup with document reconstruction
+    * (Wenzek et al., CCNet 2020, arXiv:1911.00359): hash every
+    * paragraph, drop corpus-wide repeats keeping only the FIRST
+    * occurrence, then reassemble each document from its surviving
+    * paragraphs. This is the web-pipeline middle ground between q18
+    * (whole-doc exact) and q19-q22 (near-dup): boilerplate paragraphs
+    * (cookie banners, nav headers) repeat across millions of pages, and
+    * paragraph dedup strips them WITHOUT discarding the documents.
+    *
+    * The documents corpus is single-line, so paragraph structure is
+    * synthesized deterministically INSIDE the query on both engines
+    * (the q63 fixture pattern): doc d's paragraph j is the text of doc
+    * p(d,j), with p(d,0) = 0 — a universal boilerplate header that
+    * repeats N times — and p(d,j) = (31·d + 7919·j²) mod N for j=1..3,
+    * per-j bijective but colliding ACROSS j, so genuine cross-document
+    * repeats occur at every multiplicity.
+    *
+    * Keep-first rule: a paragraph survives iff its position key
+    * 10·doc + j is the corpus-wide minimum for its md5; documents are
+    * reassembled from survivors in position order (newline-joined) and
+    * gated by hash, so the reconstruction text itself is bit-exact.
+    *
+    * Scale shape: the paragraph-fetch join exists only to synthesize
+    * the fixture (production paragraphs come from splitting the text
+    * column — a map). The dedup itself is two shuffles: min-position
+    * per content hash (window over md5, map-side combinable as a
+    * groupBy-min + join in the production variant), then reassembly
+    * shuffled on doc_id. Nothing is ever all-pairs; state per hash is
+    * one (pos) value.
+    */
+  val q67ParaDedup = QueryDef(
+    "q67_para_dedup",
+    (s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val n = docs.count() // footer metadata, no scan
+      val slots = docs.select(col("doc_id").as("d"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("src",
+          when(col("j") === 0, lit(0L))
+            .otherwise(pmod(col("d") * 31L + col("j") * col("j") * 7919L, lit(n))))
+      val paras = slots
+        .join(docs.select(col("doc_id").as("src"), col("text")), Seq("src"))
+        .select(col("d"), col("j"), col("text"))
+      val byHash = Window.partitionBy(md5(to_binary(col("text"), lit("utf-8"))))
+      val kept = paras
+        .withColumn("pos", col("d") * 10L + col("j"))
+        .withColumn("keep_pos", min(col("pos")).over(byHash))
+        .filter(col("pos") === col("keep_pos"))
+      val rebuilt = kept.groupBy(col("d"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("j"), col("text")))),
+              p => p.getField("text")), "\n").as("clean"))
+      docs.select(col("doc_id"))
+        .join(rebuilt, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          length(coalesce(col("clean"), lit(""))).as("clean_chars"),
+          md5(to_binary(coalesce(col("clean"), lit("")), lit("utf-8"))).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      slots AS (
+        SELECT d.doc_id AS d, j.j AS j,
+               CASE WHEN j.j = 0 THEN 0
+                    ELSE (d.doc_id * 31 + j.j * j.j * 7919) % (SELECT n FROM nn) END AS src
+        FROM documents d, (SELECT unnest(generate_series(0, 3)) AS j) j),
+      paras AS (
+        SELECT s.d, s.j, t.text
+        FROM slots s JOIN documents t ON t.doc_id = s.src),
+      keyed AS (
+        SELECT d, j, text, d * 10 + j AS pos,
+               min(d * 10 + j) OVER (PARTITION BY md5(text)) AS keep_pos
+        FROM paras),
+      kept AS (SELECT d, j, text FROM keyed WHERE pos = keep_pos),
+      rebuilt AS (
+        SELECT d, count(*) AS n_kept, string_agg(text, chr(10) ORDER BY j) AS clean
+        FROM kept GROUP BY d)
+      SELECT doc.doc_id,
+             CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(len(coalesce(r.clean, '')) AS INT) AS clean_chars,
+             md5(coalesce(r.clean, '')) AS clean_hash
+      FROM documents doc LEFT JOIN rebuilt r ON doc.doc_id = r.d
+      ORDER BY doc.doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q18ExactDedup, q19MinhashSig, q20LshBuckets, q21Simhash, q22JaccardPairs,
     q38DedupClusters, q42BandClaims, q52DupSubstrings, q57Decontam,
-    q62DecontamSpans)
+    q62DecontamSpans, q67ParaDedup)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.{ExtractedDoc, PageRow}
-import graft.extract.Extractor
+import graft.extract.{Extractor, Outlinks}
 import graft.gen.SyntheticCorpus
 
 /** Extraction-engine queries — the north-rule pipeline exposed through
@@ -218,6 +218,84 @@ object ExtractQueries {
 
   val qxExtract = qxExtractCorpus
 
+  /** Outlink-stream materialization, same contract as
+    * [[materializeExtract]]: an independent 7-partition generation +
+    * DOM-walk pass written once per (dir, size) so DuckDB can aggregate
+    * the SAME link stream the live query recomputes at session
+    * parallelism — the oracle gates that the anchor walk is
+    * deterministic across parallelism, then that both engines aggregate
+    * it identically.
+    */
+  val outlinksCachePath = "/tmp/graft_verify_outlinks_cache"
+  @volatile private var outlinksKey: String = ""
+  def materializeOutlinks(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    synchronized {
+      val key = s"$dir|${corpusSize(dir)}"
+      if (outlinksKey != key) {
+        import s.implicits._
+        SyntheticCorpus.generate(s, corpusSize(dir), partitions = 7)
+          .mapPartitions(_.flatMap { r =>
+            Outlinks.extract(r.html).map(l => (r.url, l.href, l.anchor))
+          })
+          .toDF("url", "href", "anchor")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(outlinksCachePath)
+        outlinksKey = key
+      }
+    }
+
+  /** Outlink/anchor-text channel over the synthetic corpus (the link
+    * stream the markdown path's boilerplate removal deliberately
+    * drops): per-target in-link counts, distinct linking pages, and
+    * anchor-text volume — the ingest shape for host/page authority
+    * ranks (q63's consumer) and anchor-text corpora.
+    *
+    * Scale shape: one corpus scan, flatMap (no state), one shuffle on
+    * the href key with map-side combine; anchors never leave the
+    * executor un-aggregated. At 100 TB the href key space is hosts ×
+    * paths — heavily skewed toward chrome links, which is exactly the
+    * salting case q48 demonstrates; here the aggregate is associative
+    * so the partial combine already absorbs the skew.
+    */
+  val qxOutlinks = QueryDef(
+    "qx_outlinks",
+    (s, dir) => {
+      import s.implicits._
+      materializeOutlinks(s, dir)
+      SyntheticCorpus.generate(s, corpusSize(dir))
+        .mapPartitions(_.flatMap { r =>
+          Outlinks.extract(r.html).map(l => (r.url, l.href, l.anchor))
+        })
+        .toDF("url", "href", "anchor")
+        .groupBy("href")
+        .agg(
+          count(lit(1)).as("n_links"),
+          countDistinct(col("url")).as("n_pages"),
+          sum(length(col("anchor"))).as("anchor_chars"),
+          // numeric anchor digest instead of min(anchor): a string min
+          // forces SortAggregate (immutable agg buffer) through the
+          // whole rollup; the first-char-code sum keeps every stage in
+          // HashAggregate while still pinning anchor CONTENT, not just
+          // lengths, in the oracle hash
+          sum(when(length(col("anchor")) > 0,
+            ascii(substring(col("anchor"), 1, 1))).otherwise(0)
+            .cast("long")).as("anchor_head_sum"))
+        .orderBy("href")
+    },
+    Some(s"""
+      SELECT href,
+             count(*) AS n_links,
+             count(DISTINCT url) AS n_pages,
+             CAST(sum(len(anchor)) AS BIGINT) AS anchor_chars,
+             CAST(sum(CASE WHEN len(anchor) > 0
+                           THEN ascii(substring(anchor, 1, 1)) ELSE 0 END) AS BIGINT)
+               AS anchor_head_sum
+      FROM read_parquet('$outlinksCachePath/*.parquet')
+      GROUP BY href ORDER BY href
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    qxExtractPlain, qxExtractCorpus, qxExtractSpans, qxExtractHashes, qxSqlExtractExpr)
+    qxExtractPlain, qxExtractCorpus, qxExtractSpans, qxExtractHashes, qxSqlExtractExpr,
+    qxOutlinks)
 }

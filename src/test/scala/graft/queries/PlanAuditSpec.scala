@@ -127,6 +127,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the scrub must be a pure projection over the scan:\n$p")
   }
 
+  test("q68: blocklist filter is a broadcast anti-join; rollup partial-aggregates") {
+    val p = plan("q68_host_stats")
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"the host blocklist must broadcast so the corpus never shuffles for the filter:\n$p")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      s"expected partial + final aggregate pair for the per-host rollup:\n$p")
+  }
+
+  test("q69: the token head broadcasts back to the scoring pass") {
+    val p = plan("q69_common_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 8-row head table must broadcast (corpus never shuffles on token for scoring):\n$p")
+  }
+
+  test("qx_outlinks: link rollup stays in HashAggregate and partial-aggregates map-side") {
+    val p = plan("qx_outlinks")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"all-numeric agg buffers must keep the rollup in HashAggregate:\n$p")
+    assert(p.contains("partial_count"),
+      s"chrome-link repeats must be absorbed map-side before the href shuffle:\n$p")
+  }
+
   test("extraction scan prunes to url column for the resume anti-join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan_audit").toString
