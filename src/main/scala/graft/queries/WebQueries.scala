@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Web-corpus URL/domain analytics — the crawl-side operators a
@@ -119,5 +120,208 @@ object WebQueries {
     """.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(q68HostStats, q69CommonTokens)
+  /** Corpus-trained bigram language-model fluency score — the LM-filter
+    * stage of the CCNet pipeline (Wenzek et al. 2020 §3.3 use a KenLM
+    * 5-gram; the reduced-order twin here trains the n-gram table FROM
+    * the corpus in the same job, the standard bootstrap when no
+    * external model artifact is allowed). Each document is scored by
+    * the mean conditional bigram probability P(w2|w1) = c(w1 w2)/c(w1)
+    * over its adjacent token pairs, in integer ppm (floor division
+    * twice) so the score is hash-exact across engines — a fluent
+    * document re-uses corpus-frequent continuations and scores high;
+    * shuffled/garbage text scores near the uniform floor.
+    *
+    * Scale shape: bigram derivation is MAP-ONLY (one transform over the
+    * token array — never a self-join on position); the two count
+    * tables are map-side-combinable aggregations; scoring re-joins the
+    * bigram stream on (w1,w2) and w1 — skewed toward stopword keys,
+    * but both probe sides are pre-aggregated counts so AQE's skew
+    * split applies cleanly. At 100 TB the trained tables are a model
+    * artifact: frozen once, then BROADCAST into every later scoring
+    * pass (the q57/q69 pattern) instead of re-joined by shuffle.
+    */
+  val q70LmScore = QueryDef(
+    "q70_lm_score",
+    (s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("a"))
+      val bigrams = docs.filter(size(col("a")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))"))
+            .as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val uni = docs.select(explode(col("a")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val per = bigrams
+        .join(bi, Seq("w1", "w2"))
+        .join(uni, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("(c12 * 1000000) div c1")).as("sum_ppm"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+            .otherwise(expr("sum_ppm div n_bigrams")).as("fluency_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)), i -> {'w1': a[i], 'w2': a[i+1]})) AS g
+        FROM t),
+      b AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),
+      u AS (SELECT unnest(a) AS w1 FROM t),
+      uc AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1),
+      bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+      sc AS (
+        SELECT b.doc_id, (bc.c12 * 1000000) // uc.c1 AS p_ppm
+        FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1)),
+      per AS (
+        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p_ppm) AS BIGINT) AS sum_ppm
+        FROM sc GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(per.n_bigrams, 0) AS n_bigrams,
+             coalesce(per.sum_ppm, 0) AS sum_ppm,
+             CASE WHEN coalesce(per.n_bigrams, 0) = 0 THEN 0
+                  ELSE per.sum_ppm // per.n_bigrams END AS fluency_ppm
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id
+    """.trim)
+  )
+
+  /** URL canonicalization + canonical-URL dedup — the first dedup any
+    * crawl processor runs (before any content hashing): the same page
+    * is fetched under scheme/case/www/port/tracking-param/fragment
+    * variants, and grouping by the CANONICAL form collapses them
+    * without reading a byte of body text.
+    *
+    * Messy URLs are synthesized deterministically inside the query on
+    * both engines (q68 fixture pattern — the corpus has no url column):
+    * doc_id residues drive scheme (http/https), www. prefix, host
+    * case, an explicit :443 port, a trailing slash, utm_ and ref query
+    * params, and a #fragment, over a shared path id doc_id mod 211 so
+    * true duplicate groups occur at every multiplicity.
+    *
+    * Canonical rule (the parse path is what production runs): force
+    * https, lowercase the HOST ONLY (path/query case is preserved),
+    * strip :443 and a leading www., drop the fragment, remove utm_*
+    * params (keeping data-carrying ones like ref), repair the leftover
+    * '?'/'&' seam, strip the trailing path slash. All regexes live in
+    * the shared Java∩RE2 dialect (no lookaround).
+    *
+    * Scale shape: canonicalization is a pure map-only projection; the
+    * keep-first verdict is ONE shuffle on the canonical key (min
+    * doc_id per group — map-side combinable as groupBy-min + join in
+    * the production variant). Nothing is all-pairs; host-level skew on
+    * the canon key is the q48 salting case if a single URL dominates.
+    */
+  val q71UrlCanon = QueryDef(
+    "q71_url_canon",
+    (s, dir) => {
+      val gen = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), (col("doc_id") % 211).cast("long").as("pid"))
+        .withColumn("hostfull",
+          when(col("doc_id") % 5 === 0, lit("EXAMPLE-CDN.COM"))
+            .otherwise(lit("example-cdn.com")))
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+          col("hostfull"),
+          when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+          lit("/articles/"), col("pid").cast("string"),
+          when(col("doc_id") % 11 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1, lit("?utm_source=feed"))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("?ref="), (col("pid") % 7).cast("string")))
+            .when(col("doc_id") % 4 === 3,
+              concat(lit("?utm_campaign=x&ref="), (col("pid") % 7).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("#sec-2")).otherwise(lit(""))))
+      val parsed = gen
+        .withColumn("rest", regexp_replace(col("url"), "^https?://", ""))
+        .withColumn("hostport", split(col("rest"), "/").getItem(0))
+        .withColumn("pq", expr("substring(rest, length(hostport) + 1)"))
+        .withColumn("host",
+          regexp_replace(regexp_replace(lower(col("hostport")), ":443$", ""), "^www\\.", ""))
+        .withColumn("pq2",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(regexp_replace(col("pq"), "#.*$", ""),
+                    "[?&]utm_[a-z]+=[^&#]*", ""),
+                  "^([^?&]*)&", "$1?"),
+                "[?&]$", ""),
+              "/\\?", "?"),
+            "/$", ""))
+        .withColumn("canon", concat(lit("https://"), col("host"), col("pq2")))
+      val byCanon = Window.partitionBy(col("canon"))
+      parsed
+        .withColumn("keep", (col("doc_id") === min(col("doc_id")).over(byCanon)).cast("int"))
+        .withColumn("n_dups", count(lit(1)).over(byCanon))
+        .select(col("doc_id"), col("url"), col("canon"), col("keep"), col("n_dups"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH gen AS (
+        SELECT doc_id, doc_id % 211 AS pid,
+               CASE WHEN doc_id % 5 = 0 THEN 'EXAMPLE-CDN.COM' ELSE 'example-cdn.com' END AS hostfull
+        FROM documents),
+      urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+               || hostfull
+               || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+               || '/articles/' || pid
+               || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+               || (CASE doc_id % 4
+                     WHEN 1 THEN '?utm_source=feed'
+                     WHEN 2 THEN '?ref=' || (pid % 7)
+                     WHEN 3 THEN '?utm_campaign=x&ref=' || (pid % 7)
+                     ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0 THEN '#sec-2' ELSE '' END) AS url
+        FROM gen),
+      parsed AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '^https?://', '') AS rest
+        FROM urls),
+      hp AS (
+        SELECT doc_id, url, rest,
+               split_part(rest, '/', 1) AS hostport,
+               substring(rest, len(split_part(rest, '/', 1)) + 1) AS pq
+        FROM parsed),
+      canon AS (
+        SELECT doc_id, url,
+               'https://'
+               || regexp_replace(regexp_replace(lower(hostport), ':443$', ''), '^www\.', '')
+               || regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(pq, '#.*$', ''),
+                            '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+                          '^([^?&]*)&', '\1?'),
+                        '[?&]$', ''),
+                      '/\?', '?', 'g'),
+                    '/$', '') AS canon
+        FROM hp)
+      SELECT doc_id, url, canon,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon) THEN 1 ELSE 0 END AS keep,
+             count(*) OVER (PARTITION BY canon) AS n_dups
+      FROM canon
+      ORDER BY doc_id
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q68HostStats, q69CommonTokens, q70LmScore, q71UrlCanon)
 }

@@ -142,6 +142,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the 8-row head table must broadcast (corpus never shuffles on token for scoring):\n$p")
   }
 
+  test("q70: bigram derivation is map-only and both count tables partial-aggregate") {
+    val p = plan("q70_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"LM scoring must never go all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"unigram/bigram counts must combine map-side before their shuffles:\n$p")
+  }
+
+  test("q71: canonicalization is pure projection — no joins, one hash shuffle for the verdict") {
+    val p = plan("q71_url_canon")
+    assert(!p.contains("Join"),
+      s"url canonicalization must not join anything:\n$p")
+    assert(p.contains("Window"),
+      s"keep-first verdict runs as a window over the canonical key:\n$p")
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one hash shuffle (the canon window), got $hashEx:\n$p")
+  }
+
   test("qx_outlinks: link rollup stays in HashAggregate and partial-aggregates map-side") {
     val p = plan("qx_outlinks")
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),

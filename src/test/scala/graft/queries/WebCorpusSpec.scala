@@ -65,4 +65,43 @@ class WebCorpusSpec extends AnyFunSuite {
     assert(scored == headMass, s"head mass mismatch: $scored vs $headMass")
     out.unpersist()
   }
+
+  test("q70: every document is scored, bigram mass is conserved, and scores are probabilities") {
+    val out = graft.SparkEntry.queries("q70_lm_score")(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.count() == docs.count(), "LM filter must score every document, not drop low-fluency rows")
+    // fluency is a mean of conditional probabilities: always within [0, 1e6] ppm
+    assert(out.filter(col("fluency_ppm") < 0 || col("fluency_ppm") > 1000000).count() == 0)
+    // map-only bigram derivation drops nothing: sum(n_bigrams) == sum(tokens - 1)
+    val expected = docs
+      .select((size(split(trim(col("text")), "\\s+")) - 1).cast("long").as("nb"))
+      .agg(sum(when(col("nb") > 0, col("nb")).otherwise(0L))).head.getLong(0)
+    val got = out.agg(sum("n_bigrams")).head.getLong(0)
+    assert(got == expected, s"bigram mass mismatch: $got vs $expected")
+    // a corpus-trained bigram table always explains its own corpus
+    // better than the uniform floor somewhere
+    assert(out.filter(col("fluency_ppm") > 0).count() > 0)
+    out.unpersist()
+  }
+
+  test("q71: canonical forms are clean, groups are consistent, and keep-first partitions the corpus") {
+    val out = graft.SparkEntry.queries("q71_url_canon")(spark, sf).cache()
+    val n = out.count()
+    // every canonical url is https, lowercase host, no www/port/fragment/utm residue
+    val canonPat = "^https://example-cdn\\.com/articles/[0-9]+(\\?ref=[0-9]+)?$"
+    assert(out.filter(!col("canon").rlike(canonPat)).count() == 0,
+      "canonicalization left scheme/host/port/utm/fragment residue")
+    // messy inputs really are messy: some urls differ from their canon
+    assert(out.filter(col("url") =!= col("canon")).count() > 0)
+    // exactly one representative per canonical group, and group sizes partition the corpus
+    val groups = out.groupBy("canon")
+      .agg(sum("keep").as("reps"), count(lit(1)).as("sz"),
+        countDistinct("n_dups").as("szs"), max("n_dups").as("claimed"))
+    assert(groups.filter(col("reps") =!= 1).count() == 0, "each group keeps exactly one representative")
+    assert(groups.filter(col("szs") =!= 1 || col("claimed") =!= col("sz")).count() == 0,
+      "n_dups must equal the true group size for every member")
+    assert(out.filter(col("keep") === 1).agg(sum("n_dups")).head.getLong(0) == n,
+      "representatives' group sizes must sum to the corpus")
+    out.unpersist()
+  }
 }
