@@ -53,7 +53,13 @@ object PlanDump {
       "q60_mixture" -> "one shuffle on source for the rank window; quota filter local; fp-threshold variant is the skew path",
       "q61_sessions" -> "gaps-and-islands: both window passes AND the session rollup share ONE user_id Exchange",
       "q64_seq_pack" -> "packing window is per-bucket (64 independent partitions — no global order needed to pack); only the final output orderBy is a global sort; typed map computes tokens+fp once",
-      "q66_bm25" -> "one tokenize map; 1-row stats aggregate broadcast-cross-joined back; TakeOrderedAndProject top-20 — no postings shuffle"
+      "q66_bm25" -> "one tokenize map; 1-row stats aggregate broadcast-cross-joined back; TakeOrderedAndProject top-20 — no postings shuffle",
+      "q67_para_dedup" -> "paragraph keep-first via min-position window on the content hash; reassembly is one doc_id shuffle — never all-pairs",
+      "qx_outlinks" -> "corpus scan → flatMap DOM walk → partial+final HashAggregate on href (all-numeric buffers, no SortAggregate)",
+      "q68_host_stats" -> "blocklist relation BROADCAST into a LeftAnti — the corpus never shuffles for the filter; per-host rollup partial-aggregates",
+      "q69_common_tokens" -> "global top-8 token head (TakeOrderedAndProject) broadcast back into the scoring re-scan; corpus never shuffles on token",
+      "q70_lm_score" -> "map-only bigram transform (no position self-join); unigram/bigram count tables partial-aggregate; scoring joins on pre-aggregated keys",
+      "q71_url_canon" -> "canonicalization is a join-free codegen projection; ONE hash shuffle (keep-first window on canon) before the output sort"
     )
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.bench.PlanDump)\n\n")
