@@ -73,5 +73,114 @@ object GraphQueries {
     """.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(q63Pagerank)
+  /** PageRank over the REAL extracted link graph — the composition the
+    * r5 verdict asked for: qx_outlinks' DOM-walked (page, href) stream
+    * feeds the q63 integer-exact rank loop, and the resulting authority
+    * is joined back onto the documents (per page family), the shape a
+    * quality filter consumes (Common Crawl host ranks, SURVEY §2.11).
+    *
+    * Graph: nodes are resolved URLs — the synthetic crawl's pages plus
+    * their link targets (site-relative hrefs resolved against the page
+    * origin; the corpus is single-host, so the page/section level is
+    * where the in-degree skew lives: nav/footer hubs like `/cat/k`
+    * accumulate authority exactly like host-level chrome does at crawl
+    * scale). Edges are DISTINCT (page, target) pairs; out-degree is the
+    * page's real distinct-target count (q63 used a fixed fan-out).
+    * Same integer-exact arithmetic as q63 but in 1e-6 units: every edge
+    * lands on one of the ~25 hub nodes, so a hub's rank approaches
+    * N·unit and the per-family sum over ~20·N edges must stay inside
+    * BIGINT under ANSI mode (1e-12 units would overflow at sf0.1).
+    *
+    * Oracle: the live side re-extracts anchors at session parallelism;
+    * DuckDB replays the identical edge derivation + 3-round chain over
+    * the independently materialized 7-partition outlink pass — gating
+    * cross-parallelism determinism of the walk AND both engines'
+    * agreement on the whole rank recursion.
+    *
+    * Scale shape: one distinct on (src,dst) — compact after the per-page
+    * anchor dedup; each round joins edges⋈ranks on src (both shuffled on
+    * the same key, so AQE reuses the exchange) and aggregates on dst
+    * with map-side combine absorbing the hub skew; localCheckpoint per
+    * round truncates lineage (q38 lesson). Driver state: nothing but
+    * Spark's plans.
+    */
+  val q72LinkRank = QueryDef(
+    "q72_link_rank",
+    (s, dir) => {
+      import s.implicits._
+      ExtractQueries.materializeOutlinks(s, dir)
+      val links = graft.gen.SyntheticCorpus
+        .generate(s, ExtractQueries.corpusSize(dir))
+        .mapPartitions(_.flatMap { r =>
+          graft.extract.Outlinks.extract(r.html).map(l => (r.url, l.href))
+        })
+        .toDF("url", "href")
+      val edges = links
+        .select(col("url").as("src"),
+          when(col("href").startsWith("/"),
+            concat(regexp_extract(col("url"), "^(https?://[^/]+)", 1), col("href")))
+            .otherwise(col("href")).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(outdeg, "src")
+          .join(ranks, edges("src") === ranks("node"))
+          .select(col("dst"), expr("rank div od").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+        ranks = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            expr("150000L + (coalesce(in_sum, 0L) * 85L) div 100L").as("rank"))
+          .localCheckpoint()
+      }
+      // join authority back onto the documents: per page family, the
+      // total rank mass of the pages' distinct link targets — the
+      // quality-filter feed (pages linking into high-authority hubs)
+      edges
+        .join(ranks, edges("dst") === ranks("node"))
+        .select(split(col("src"), "/").getItem(3).as("family"),
+          col("src"), col("rank"))
+        .groupBy("family")
+        .agg(countDistinct(col("src")).as("n_pages"),
+          count(lit(1)).as("n_edges"),
+          sum(col("rank")).as("authority_sum"))
+        .orderBy("family")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT DISTINCT url AS src,
+               CASE WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+                    ELSE href END AS dst
+        FROM read_parquet('${ExtractQueries.outlinksCachePath}/*.parquet')),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      c1 AS (SELECT e.dst, sum(r0.rank // od.od) AS in_sum
+             FROM e JOIN od ON e.src = od.src JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+      r1 AS (SELECT n.node, CAST(150000 + coalesce(c1.in_sum, 0) * 85 // 100 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+      c2 AS (SELECT e.dst, sum(r1.rank // od.od) AS in_sum
+             FROM e JOIN od ON e.src = od.src JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+      r2 AS (SELECT n.node, CAST(150000 + coalesce(c2.in_sum, 0) * 85 // 100 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN c2 ON n.node = c2.dst),
+      c3 AS (SELECT e.dst, sum(r2.rank // od.od) AS in_sum
+             FROM e JOIN od ON e.src = od.src JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+      r3 AS (SELECT n.node, CAST(150000 + coalesce(c3.in_sum, 0) * 85 // 100 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
+      SELECT split_part(e.src, '/', 4) AS family,
+             count(DISTINCT e.src) AS n_pages,
+             count(*) AS n_edges,
+             CAST(sum(r3.rank) AS BIGINT) AS authority_sum
+      FROM e JOIN r3 ON e.dst = r3.node
+      GROUP BY 1 ORDER BY family
+    """.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(q63Pagerank, q72LinkRank)
 }

@@ -883,7 +883,14 @@ object Similarity {
       // threads into the trained chain instead of a second parquet scan
       val norm = normRows(s.read.parquet(s"$dir/embeddings.parquet"))
       val k = math.min(math.ceil(math.sqrt(norm.count().toDouble)).toLong, MaxBroadcastCells)
-      val half = scanTargetProbes(k, 0.5)
+      // The top budget ⌈k/2⌉ is the measurement-campaign operating point
+      // (~50% scan — a property of the directionally-uniform synthetic
+      // corpus, see doc above). Bench caps it via this system property
+      // (set only by graft.Bench) so the sweep's busy-window worst case
+      // stays bounded at bench scale; Verify and the DuckDB oracle run
+      // uncapped, so the correctness fixture is untouched.
+      val cap = sys.props.get("graft.q49.benchProbeCap").map(_.toInt).getOrElse(Int.MaxValue)
+      val half = math.min(scanTargetProbes(k, 0.5), cap)
       val aAll = trainedAssignedDf(s, dir, probes = half, norm = Some(norm))
       val exact = exactTop5(aAll).persist() // shared across the three budgets
       Seq(1, 3, half).map { p =>
