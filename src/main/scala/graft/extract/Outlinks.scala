@@ -31,15 +31,23 @@ object Outlinks {
 
   private val skipTags = Set("script", "style", "template")
 
-  /** Whitespace-normalized concatenated text of a subtree. */
-  private def textOf(n: DomNode, sb: java.lang.StringBuilder): Unit = n match {
-    case DomText(t) => sb.append(t)
-    case e: DomElem =>
-      if (!skipTags.contains(e.tag)) {
-        var i = 0
-        while (i < e.children.length) { textOf(e.children(i), sb); i += 1 }
-      }
-  }
+  /** Whitespace-normalized concatenated text of an anchor subtree.
+    * A NESTED `<a>` (malformed HTML — the builder tolerates it) owns
+    * its own anchor text: its subtree is excluded from the enclosing
+    * anchor (it still emits its own Link through the walk), so no text
+    * run is ever attributed to two anchors and anchor_chars sums stay
+    * honest on pathological pages. `root` marks the anchor element
+    * itself, which is of course tag `a`.
+    */
+  private def textOf(n: DomNode, sb: java.lang.StringBuilder, root: Boolean = false): Unit =
+    n match {
+      case DomText(t) => sb.append(t)
+      case e: DomElem =>
+        if (!skipTags.contains(e.tag) && (root || e.tag != "a")) {
+          var i = 0
+          while (i < e.children.length) { textOf(e.children(i), sb); i += 1 }
+        }
+    }
 
   private def normalize(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -75,7 +83,7 @@ object Outlinks {
             e.attr("href") match {
               case Some(h) if h.nonEmpty && !h.startsWith("#") =>
                 val sb = new java.lang.StringBuilder()
-                textOf(e, sb)
+                textOf(e, sb, root = true)
                 out += Link(h, normalize(sb.toString))
               case _ => ()
             }

@@ -310,13 +310,71 @@ object TexNormalizer {
       0x1D548, 0x1D549, 0x1D551))
     letters(0x1D5A0, "mathsf")
     letters(0x1D670, "mathtt")
+    // compound-style latin planes (r5-verdict tranche; latex_conversion
+    // .py:76-86 reaches these via pylatexenc). Math letters are italic
+    // by default, so \boldsymbol{A} IS bold-italic; the compound sans
+    // styles nest \mathsf under \boldsymbol; plain sans-italic degrades
+    // to \mathsf (standard LaTeX has no sans-italic math axis) — the
+    // nearest-command convention, stated here once for the whole block.
+    def lettersF(base: Int)(fmt: Char => String): Unit =
+      for (k <- 0 until 52) {
+        val ch = if (k < 26) ('A' + k).toChar else ('a' + (k - 26)).toChar
+        m += (base + k) -> fmt(ch)
+      }
+    lettersF(0x1D468)(c => s"\\boldsymbol{$c} ")                 // bold italic
+    lettersF(0x1D4D0)(c => s"\\boldsymbol{\\mathcal{$c}} ")      // bold script
+    lettersF(0x1D56C)(c => s"\\boldsymbol{\\mathfrak{$c}} ")     // bold fraktur
+    lettersF(0x1D5D4)(c => s"\\boldsymbol{\\mathsf{$c}} ")       // sans bold
+    lettersF(0x1D608)(c => s"\\mathsf{$c} ")                     // sans italic
+    lettersF(0x1D63C)(c => s"\\boldsymbol{\\mathsf{$c}} ")       // sans bold italic
     def digits(base: Int, cmd: String): Unit =
       for (k <- 0 until 10) m += (base + k) -> s"\\$cmd{$k} "
     digits(0x1D7CE, "mathbf")
     digits(0x1D7D8, "mathbb")
     digits(0x1D7F6, "mathtt")
+    for (k <- 0 until 10) {                                      // sans + sans bold digits
+      m += (0x1D7E2 + k) -> s"\\mathsf{$k} "
+      m += (0x1D7EC + k) -> s"\\boldsymbol{\\mathsf{$k}} "
+    }
+    // styled GREEK planes: five 58-codepoint blocks laid out capitals
+    // (with THETA SYMBOL inserted after Rho) + nabla + smalls (with
+    // final sigma) + the seven variant symbols. The italic block is
+    // math's default style → bare commands; every bold-carrying block
+    // maps through \boldsymbol (the one standard command that bolds
+    // Greek); sans Greek has no vanilla-LaTeX axis and degrades to the
+    // same \boldsymbol form.
+    val greek = Seq(
+      "A", "B", "\\Gamma", "\\Delta", "E", "Z", "H", "\\Theta", "I", "K",
+      "\\Lambda", "M", "N", "\\Xi", "O", "\\Pi", "P", "\\varTheta",
+      "\\Sigma", "T", "\\Upsilon", "\\Phi", "X", "\\Psi", "\\Omega",
+      "\\nabla",
+      "\\alpha", "\\beta", "\\gamma", "\\delta", "\\varepsilon", "\\zeta",
+      "\\eta", "\\theta", "\\iota", "\\kappa", "\\lambda", "\\mu", "\\nu",
+      "\\xi", "o", "\\pi", "\\rho", "\\varsigma", "\\sigma", "\\tau",
+      "\\upsilon", "\\varphi", "\\chi", "\\psi", "\\omega",
+      "\\partial", "\\epsilon", "\\vartheta", "\\varkappa", "\\phi",
+      "\\varrho", "\\varpi")
+    def greekBlock(base: Int, bold: Boolean): Unit =
+      for ((n, k) <- greek.zipWithIndex)
+        m += (base + k) -> (if (bold) s"\\boldsymbol{$n} " else s"$n ")
+    greekBlock(0x1D6A8, bold = true)   // bold
+    greekBlock(0x1D6E2, bold = false)  // italic = math default
+    greekBlock(0x1D71C, bold = true)   // bold italic
+    greekBlock(0x1D756, bold = true)   // sans bold
+    greekBlock(0x1D790, bold = true)   // sans bold italic
     m.result()
   }
+
+  /** Combining diacritics (U+03xx) → the prefix accent commands
+    * pylatexenc emits for NFD text (latex_conversion.py:94-98 strips
+    * the braces, so `e`+U+0301 → `\'e`, matching the precomposed `é`
+    * entry above). Applied to the PRECEDING ASCII letter during the
+    * walk; a mark with no letter base passes through unchanged.
+    */
+  private val combiningAccents: Map[Int, String] = Map(
+    0x0300 -> "\\`", 0x0301 -> "\\'", 0x0302 -> "\\^", 0x0303 -> "\\~",
+    0x0304 -> "\\=", 0x0306 -> "\\u ", 0x0307 -> "\\.", 0x0308 -> "\\\"",
+    0x030A -> "\\r ", 0x030B -> "\\H ", 0x030C -> "\\v ", 0x0327 -> "\\c ")
 
   private val uni2texCp: Map[Int, String] =
     mathAlnum ++ uni2tex.map { case (c, s) => (c.toInt, s) }
@@ -326,7 +384,7 @@ object TexNormalizer {
     var i = 0
     while (i < tex.length && !any) {
       val cp = tex.codePointAt(i)
-      if (uni2texCp.contains(cp)) any = true
+      if (uni2texCp.contains(cp) || combiningAccents.contains(cp)) any = true
       i += Character.charCount(cp)
     }
     if (!any) return tex
@@ -336,7 +394,17 @@ object TexNormalizer {
       val cp = tex.codePointAt(i)
       uni2texCp.get(cp) match {
         case Some(rep) => sb.append(rep)
-        case None => sb.appendCodePoint(cp)
+        case None =>
+          combiningAccents.get(cp) match {
+            case Some(cmd) if sb.length > 0 && {
+                val b = sb.charAt(sb.length - 1)
+                (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+              } =>
+              val base = sb.charAt(sb.length - 1)
+              sb.setLength(sb.length - 1)
+              sb.append(cmd).append(base)
+            case _ => sb.appendCodePoint(cp)
+          }
       }
       i += Character.charCount(cp)
     }

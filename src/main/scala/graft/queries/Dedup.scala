@@ -829,8 +829,13 @@ object Dedup {
         .join(docs.select(col("doc_id").as("src"), col("text")), Seq("src"))
         .select(col("d"), col("j"), col("text"))
       val byHash = Window.partitionBy(md5(to_binary(col("text"), lit("utf-8"))))
+      // position key pos = d·SLOTS + j encodes lexicographic (d, j):
+      // the multiplier is the slot count (sequence(0,3) → 4), so keys
+      // from different docs can never interleave; widening the fixture
+      // to more paragraphs per doc only needs SLOTS to follow
+      val SLOTS = 4L
       val kept = paras
-        .withColumn("pos", col("d") * 10L + col("j"))
+        .withColumn("pos", col("d") * SLOTS + col("j"))
         .withColumn("keep_pos", min(col("pos")).over(byHash))
         .filter(col("pos") === col("keep_pos"))
       val rebuilt = kept.groupBy(col("d"))
@@ -857,8 +862,8 @@ object Dedup {
         SELECT s.d, s.j, t.text
         FROM slots s JOIN documents t ON t.doc_id = s.src),
       keyed AS (
-        SELECT d, j, text, d * 10 + j AS pos,
-               min(d * 10 + j) OVER (PARTITION BY md5(text)) AS keep_pos
+        SELECT d, j, text, d * 4 + j AS pos,
+               min(d * 4 + j) OVER (PARTITION BY md5(text)) AS keep_pos
         FROM paras),
       kept AS (SELECT d, j, text FROM keyed WHERE pos = keep_pos),
       rebuilt AS (

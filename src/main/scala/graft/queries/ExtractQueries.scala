@@ -255,7 +255,14 @@ object ExtractQueries {
     * executor un-aggregated. At 100 TB the href key space is hosts ×
     * paths — heavily skewed toward chrome links, which is exactly the
     * salting case q48 demonstrates; here the aggregate is associative
-    * so the partial combine already absorbs the skew.
+    * so the partial combine already absorbs the skew. The one
+    * EXACT-form cost is `count(distinct url)`: it adds a second
+    * Exchange on (href, url) (BENCH/PLANS.md). That is the
+    * oracle-checkable contract; the 100 TB choice is the
+    * `approx_count_distinct` twin — HLL++ partials merge map-side, so
+    * the rollup collapses back to ONE Exchange — pinned against this
+    * exact form by the error envelope + plan assertion in
+    * OutlinksSketchSpec (the q58/SketchAccuracySpec pattern).
     */
   val qxOutlinks = QueryDef(
     "qx_outlinks",
@@ -295,7 +302,95 @@ object ExtractQueries {
     """.trim)
   )
 
+  /** One full CorpusJob run per (dir, size) per JVM: the real
+    * extract→scrub→dedup→split composition into a keyed /tmp workdir
+    * (distinct sf dirs run disjoint jobs — the r5-advice clobber note;
+    * the DuckDB-facing cache below must stay a CONSTANT path because
+    * oracle SQL is static, so last-writer-wins there is inherent to the
+    * materialize pattern). The job's scrub table is flattened to the
+    * cache path so DuckDB can replay the assembly stage from the same
+    * input the Scala assembly consumed.
+    */
+  val corpusScrubCachePath = "/tmp/graft_verify_corpus_scrub_cache"
+  @volatile private var corpusKey: String = ""
+  @volatile private var corpusWork: String = ""
+  def materializeCorpusRun(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val n = corpusSize(dir)
+      val key = s"$dir|$n"
+      if (corpusKey != key) {
+        val work = s"/tmp/graft_verify_corpus_${Integer.toHexString(key.hashCode)}"
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(work), true)
+        graft.pipeline.CorpusJob.run(s, s"synthetic:$n", work)
+        graft.io.TableIO.readData(s, s"$work/scrub")
+          .getOrElse(sys.error(s"CorpusJob left no scrub table under $work"))
+          .select(col("url"), col("host"), col("markdown"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(corpusScrubCachePath)
+        corpusWork = work
+        corpusKey = key
+      }
+      corpusWork
+    }
+
+  /** End-to-end corpus assembly under the oracle gate (the r5-verdict
+    * composition item): the LIVE side runs the production CorpusJob —
+    * ExtractJob → ScrubJob → exact dedup (min-url per markdown md5) →
+    * quality gate (≥10 tokens) → content-fingerprint split — and
+    * aggregates the published corpus table per split; DuckDB replays
+    * the dedup→gate→split assembly INDEPENDENTLY from the job's scrub
+    * table and must reproduce per-split cardinalities, token totals,
+    * fingerprint sums, markdown character mass, and the url extrema
+    * bit-exactly. The shared extract+scrub prefix is itself gated by
+    * qx_extract_plain/hashes and q34; this row gates the composition.
+    *
+    * Scale shape is CorpusJob's (one dedup shuffle, map-side gate and
+    * split, one layout shuffle); the aggregation here is a 3-group
+    * rollup with map-side combine over the final table.
+    */
+  val qxCorpusAssemble = QueryDef(
+    "qx_corpus_assemble",
+    (s, dir) => {
+      val work = materializeCorpusRun(s, dir)
+      graft.io.TableIO.readData(s, s"$work/corpus")
+        .getOrElse(sys.error(s"CorpusJob left no corpus table under $work"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_sum"),
+          sum(col("fp")).as("fp_sum"),
+          sum(length(col("markdown"))).as("md_chars"),
+          min(col("url")).as("url_min"),
+          max(col("url")).as("url_max"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT url, markdown,
+               CAST(CAST(coalesce(list_sum(list_transform(
+                      regexp_split_to_array(trim(markdown), '\\s+'),
+                      (w, i) -> i * (length(w) * 31 + ascii(substring(w, 1, 1))))), 0) AS BIGINT)
+                    % 1000000007 AS BIGINT) AS fp,
+               len(regexp_split_to_array(trim(markdown), '\\s+')) AS n_toks
+        FROM read_parquet('$corpusScrubCachePath/*.parquet')),
+      d AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(markdown) ORDER BY url) AS rn FROM t),
+      kept AS (
+        SELECT url, markdown, fp, n_toks FROM d WHERE rn = 1 AND n_toks >= 10)
+      SELECT CASE WHEN fp % 100 < 80 THEN 'train'
+                  WHEN fp % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS tok_sum,
+             CAST(sum(fp) AS BIGINT) AS fp_sum,
+             CAST(sum(len(markdown)) AS BIGINT) AS md_chars,
+             min(url) AS url_min,
+             max(url) AS url_max
+      FROM kept GROUP BY 1 ORDER BY split
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qxExtractPlain, qxExtractCorpus, qxExtractSpans, qxExtractHashes, qxSqlExtractExpr,
-    qxOutlinks)
+    qxOutlinks, qxCorpusAssemble)
 }

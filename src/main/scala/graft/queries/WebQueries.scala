@@ -211,8 +211,10 @@ object WebQueries {
     *
     * Canonical rule (the parse path is what production runs): force
     * https, lowercase the HOST ONLY (path/query case is preserved),
-    * strip :443 and a leading www., drop the fragment, remove utm_*
-    * params (keeping data-carrying ones like ref), repair the leftover
+    * strip :443 and a leading www., drop the fragment, remove tracking
+    * params — the utm_ namespace (digits/underscores included, so
+    * utm_id/utm_source_platform match) plus the click ids fbclid/
+    * gclid/msclkid — keeping data-carrying ones like ref, repair the leftover
     * '?'/'&' seam, strip the trailing path slash. All regexes live in
     * the shared Java∩RE2 dialect (no lookaround).
     *
@@ -257,7 +259,7 @@ object WebQueries {
               regexp_replace(
                 regexp_replace(
                   regexp_replace(regexp_replace(col("pq"), "#.*$", ""),
-                    "[?&]utm_[a-z]+=[^&#]*", ""),
+                    "[?&](utm_[a-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*", ""),
                   "^([^?&]*)&", "$1?"),
                 "[?&]$", ""),
               "/\\?", "?"),
@@ -309,7 +311,7 @@ object WebQueries {
                         regexp_replace(
                           regexp_replace(
                             regexp_replace(pq, '#.*$', ''),
-                            '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+                            '[?&](utm_[a-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
                           '^([^?&]*)&', '\1?'),
                         '[?&]$', ''),
                       '/\?', '?', 'g'),

@@ -42,6 +42,20 @@ class OutlinksSpec extends AnyFunSuite {
     assert(a.map(_.href).toSet == Set("/x", "/y"))
   }
 
+  test("nested anchor owns its text: outer anchor excludes it, inner still emits a Link") {
+    // malformed-but-tolerated nesting: each text run is attributed to
+    // its NEAREST enclosing anchor exactly once (the r5-advice
+    // double-count note) — outer sees "before after", inner sees "mid"
+    val html = """<a href="/outer">before <a href="/inner">mid</a> after</a>"""
+    val links = Outlinks.extractHtml(html)
+    val byHref = links.map(l => l.href -> l.anchor).toMap
+    assert(byHref.get("/inner").contains("mid"))
+    byHref.get("/outer").foreach { outer =>
+      assert(!outer.contains("mid"), s"outer anchor double-counts nested text: '$outer'")
+    }
+    assert(links.map(_.href).count(_ == "/inner") == 1)
+  }
+
   test("NBSP in anchor text normalizes to a plain space") {
     val html = "<a href=\"/n\">two\u00A0words</a>"
     assert(Outlinks.extractHtml(html).head.anchor == "two words")
