@@ -59,7 +59,9 @@ object PlanDump {
       "q68_host_stats" -> "blocklist relation BROADCAST into a LeftAnti — the corpus never shuffles for the filter; per-host rollup partial-aggregates",
       "q69_common_tokens" -> "global top-8 token head (TakeOrderedAndProject) broadcast back into the scoring re-scan; corpus never shuffles on token",
       "q70_lm_score" -> "map-only bigram transform (no position self-join); unigram/bigram count tables partial-aggregate; scoring joins on pre-aggregated keys",
-      "q71_url_canon" -> "canonicalization is a join-free codegen projection; ONE hash shuffle (keep-first window on canon) before the output sort"
+      "q71_url_canon" -> "canonicalization is a join-free codegen projection; ONE hash shuffle (keep-first window on canon) before the output sort",
+      "q72_link_rank" -> "rank rounds are localCheckpoint-truncated (plan shows the final round over checkpointed RDDs, not an unrolled 4-deep lineage); edges⋈ranks shuffle on the same key; hub skew absorbed by partial aggregation on dst",
+      "qx_corpus_assemble" -> "the per-split rollup over the published corpus table (partition-pruned scan, partial+final aggregate); the assembly's own dedup + layout shuffles live in CorpusJob (one content-hash window + one (split,bucket) write shuffle, pinned by CorpusJobSpec)"
     )
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.bench.PlanDump)\n\n")
