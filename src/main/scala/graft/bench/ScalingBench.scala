@@ -62,7 +62,45 @@ object ScalingBench {
   /** `samples` = per-level samples this round actually took, carried
     * so the stored-run protocol tag can never diverge from the
     * executed protocol. */
-  final case class Round(lo: RunResult, hi: RunResult, ceiling: Double, samples: Int = 2)
+  final case class Round(lo: RunResult, hi: RunResult, ceiling: Double, samples: Int = 2,
+                         load: Double = -1.0, ext: Double = -1.0)
+
+  /** 1-minute system load at a round boundary. CONFOUNDED by our own
+    * just-finished runs (the EMA decays over a minute), kept only as a
+    * coarse cross-check — [[externalCores]] is the clean instrument. */
+  def loadAvg1: Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(' ')(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Whole-host busy jiffies (user+nice+system+irq+softirq+steal) from
+    * /proc/stat, in seconds of CPU time. */
+  private def totalBusySec: Double =
+    try {
+      val cpu = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+        .get(0).trim.split("\\s+") // "cpu u n s idle iow irq sirq steal ..."
+      val f = cpu.drop(1).map(_.toDouble)
+      (f(0) + f(1) + f(2) + f(5) + f(6) + (if (f.length > 7) f(7) else 0.0)) / 100.0
+    } catch { case _: Throwable => -1.0 }
+
+  private def processCpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  /** Average EXTERNAL cores busy over a measured window: host busy CPU
+    * minus this JVM's own CPU, per wall second. Unlike loadavg this is
+    * not polluted by our own just-finished bursts, so it is the
+    * objective co-tenant-contamination record for a round (r6: three
+    * consecutive sub-0.65 runs whose lo levels were at historical BEST —
+    * only the bus-saturated 32-thread level lost throughput, the
+    * signature of external memory pressure, not of a code regression). */
+  private def externalCores(wallSec: Double, busy0: Double, proc0: Double): Double = {
+    val b = totalBusySec; val p = processCpuSec
+    if (wallSec <= 0 || busy0 < 0 || b < 0 || proc0 < 0 || p < 0) -1.0
+    else math.max(0.0, ((b - busy0) - (p - proc0)) / wallSec)
+  }
 
   /** Fixed partition count at every level: granularity must not vary
     * with the parallelism being measured. 192 = 6 waves at 32 cores /
@@ -181,11 +219,14 @@ object ScalingBench {
     * 10.16 paired ratio. Best-of-2 at both levels gives each the same
     * defense (the r3-verdict bench-hygiene item). */
   def round(lo: Int, hi: Int, nPages: Long, samples: Int = 2): Round = {
+    val ld = loadAvg1
+    val w0 = System.nanoTime(); val b0 = totalBusySec; val p0 = processCpuSec
     val c = cpuProbe(lo, hi)
     val loRuns = (1 to samples).map(_ => runAt(lo, nPages))
     val hiRuns = (1 to samples).map(_ => runAt(hi, nPages))
     require((loRuns ++ hiRuns).map(_.outputDigest).distinct.length == 1)
-    Round(loRuns.maxBy(_.docsPerSec), hiRuns.maxBy(_.docsPerSec), c, samples)
+    val ext = externalCores((System.nanoTime() - w0) / 1e9, b0, p0)
+    Round(loRuns.maxBy(_.docsPerSec), hiRuns.maxBy(_.docsPerSec), c, samples, ld, ext)
   }
 
   def main(args: Array[String]): Unit = {
@@ -224,7 +265,8 @@ object ScalingBench {
       * state the spread over protocol-consistent runs. */
     final case class StoredRun(stamp: Long, pages: Long, lo: Int, hi: Int,
                                rounds: Seq[(Double, Double, Double)], identical: Boolean,
-                               samples: Int = 1) {
+                               samples: Int = 1, loads: Seq[Double] = Nil,
+                               exts: Seq[Double] = Nil) {
       def loBest: Double = rounds.map(_._2).max
       def hiBest: Double = rounds.map(_._3).max
       def efficiency: Double = (hiBest / loBest) / (hi.toDouble / lo)
@@ -267,12 +309,19 @@ object ScalingBench {
       Files.createDirectories(runsDir)
       var stamp = System.currentTimeMillis()
       while (Files.exists(runsDir.resolve(s"run_$stamp.txt"))) stamp += 1
+      val loads = rs.map(_.load)
+      val exts = rs.map(_.ext)
       val run = StoredRun(stamp, nPages, lo, hi,
-        rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)), identical, samples)
+        rs.map(r => (r.ceiling, r.lo.docsPerSec, r.hi.docsPerSec)), identical, samples,
+        if (loads.exists(_ >= 0)) loads else Nil,
+        if (exts.exists(_ >= 0)) exts else Nil)
       // Double.toString, never the f-interpolator: String.format follows
       // the JVM default locale (comma decimals under de_DE etc.) and the
       // round trip through toDouble would silently drop every stored run
-      val body = (s"pages=$nPages lo=$lo hi=$hi identical=$identical samples=$samples" +:
+      val loadsTok =
+        (if (run.loads.nonEmpty) s" loads=${run.loads.mkString(",")}" else "") +
+        (if (run.exts.nonEmpty) s" ext=${run.exts.mkString(",")}" else "")
+      val body = (s"pages=$nPages lo=$lo hi=$hi identical=$identical samples=$samples$loadsTok" +:
         run.rounds.map(r => s"${r._1} ${r._2} ${r._3}")).mkString("\n") + "\n"
       Files.writeString(runsDir.resolve(s"run_${run.stamp}.txt"), body)
       build(loadAll(nPages, lo, hi).filterNot(_.stamp == run.stamp) :+ run)
@@ -301,7 +350,9 @@ object ScalingBench {
               if (rounds.nonEmpty)
                 out += StoredRun(name.stripPrefix("run_").stripSuffix(".txt").toLong,
                   nPages, lo, hi, rounds, hdr("identical").toBoolean,
-                  hdr.getOrElse("samples", "1").toInt)
+                  hdr.getOrElse("samples", "1").toInt,
+                  hdr.get("loads").map(_.split(',').toSeq.map(_.toDouble)).getOrElse(Nil),
+                  hdr.get("ext").map(_.split(',').toSeq.map(_.toDouble)).getOrElse(Nil))
             }
           } catch { case scala.util.control.NonFatal(_) => () } // stale format: skip
         }
@@ -336,6 +387,15 @@ object ScalingBench {
            val mark = if (r.perRound(i) > SaneRatioCap) " †" else ""
            f"| ${i + 1} | $c%.3f | $l%.0f | $h%.0f | ${r.perRound(i)}%.3f$mark |"
          } ++
+         (if (r.exts.nonEmpty)
+            Seq("", "- external cores busy during each round (/proc/stat minus own " +
+              "process CPU — the objective co-tenant contamination record): " +
+              r.exts.map(v => f"$v%.1f").mkString(", "))
+          else Seq.empty) ++
+         (if (r.loads.nonEmpty)
+            Seq("- 1-min loadavg at round starts (coarse; includes our own " +
+              "just-finished bursts): " + r.loads.map(v => f"$v%.1f").mkString(", "))
+          else Seq.empty) ++
          Seq(
            "",
            f"- best-of: $lo→$hi ${r.loBest}%.0f → ${r.hiBest}%.0f docs/s → **efficiency ${r.efficiency}%.3f**",
