@@ -147,6 +147,74 @@ object IoQueries {
     """.trim)
   )
 
+  /** WARC ingest under the oracle gate — the Common Crawl interchange
+    * format parsed by graft.io.WarcPages (the source step BEFORE the
+    * input table of the north rule exists). The fixture is provable
+    * (the r4 arithmetic-oracle trick): per document, a two-record WARC
+    * blob is BUILT deterministically inside the query — a `response`
+    * record whose block is a fixed 44-byte HTTP envelope plus the text,
+    * and a `metadata` record with a length note — with every third blob
+    * gzip-compressed on the wire; parsing it back must recover record
+    * types, header counts, block lengths, and the envelope-stripped
+    * body bit-exactly, all of which DuckDB predicts arithmetically from
+    * the original text column (gzip is invisible to the prediction —
+    * decompression must be lossless or every third row's hashes break).
+    *
+    * Scale shape: build+parse is a stateless per-row flatMap — segments
+    * map to tasks, no shuffle before the output sort; fault paths
+    * (truncation, bad lengths, garbage, corrupt gzip) are fault ROWS
+    * pinned by WarcReaderSpec, never task failures.
+    */
+  val qxWarcScan = QueryDef(
+    "qx_warc_scan",
+    (s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      import graft.io.WarcPages
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val uri = s"https://crawl.example/d/$id"
+          val blob =
+            WarcPages.buildResponse(uri, "2024-01-01T00:00:00Z", text.getBytes(UTF_8)) ++
+            WarcPages.buildMetadata(uri, s"len=${text.length}")
+          val wire = if (id % 3 == 0) WarcPages.gzip(blob) else blob
+          WarcPages.parse(wire).map { r =>
+            val body =
+              if (r.warcType == "response") WarcPages.httpBody(r.body) else r.body
+            (id, r.warcType, if (r.ok) 1 else 0, r.headers.size,
+              r.body.length.toLong, new String(body, UTF_8))
+          }
+        })
+        .toDF("doc_id", "rec_type", "ok", "n_headers", "block_len", "body")
+        .select(col("doc_id"), col("rec_type"), col("ok"), col("n_headers"),
+          col("block_len"), length(col("body")).as("body_chars"),
+          md5(to_binary(col("body"), lit("utf-8"))).as("body_md5"))
+        .orderBy("doc_id", "rec_type")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      resp AS (
+        SELECT doc_id, 'response' AS rec_type, CAST(1 AS INT) AS ok,
+               CAST(4 AS INT) AS n_headers,
+               CAST(44 + len(text) AS BIGINT) AS block_len,
+               CAST(len(text) AS INT) AS body_chars,
+               md5(text) AS body_md5
+        FROM d),
+      meta AS (
+        SELECT doc_id, 'metadata' AS rec_type, CAST(1 AS INT) AS ok,
+               CAST(3 AS INT) AS n_headers,
+               CAST(4 + len(CAST(len(text) AS VARCHAR)) AS BIGINT) AS block_len,
+               CAST(4 + len(CAST(len(text) AS VARCHAR)) AS INT) AS body_chars,
+               md5('len=' || len(text)) AS body_md5
+        FROM d)
+      SELECT * FROM resp UNION ALL SELECT * FROM meta
+      ORDER BY doc_id, rec_type
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(q43JsonlRoundtrip, q47BucketedJoin, qxPipeCat,
-    q65CorpusDiff)
+    q65CorpusDiff, qxWarcScan)
 }
