@@ -44,9 +44,13 @@ object Extractor {
       val sliced =
         if (htmlBytes.length > cfg.maxHtmlBytes) java.util.Arrays.copyOf(htmlBytes, cfg.maxHtmlBytes)
         else htmlBytes
-      // NBSP -> space at ingest, as the reference does on raw html
-      // (html2md.py:52, split_htmls_to_pages.py:69)
-      val html = new String(sliced, StandardCharsets.UTF_8).replace('\u00A0', ' ')
+      // charset-sniffed decode (BOM \u2192 meta \u2192 UTF-8 sniff \u2192 cp1252, see
+      // CharsetSniff) \u2014 for valid UTF-8 this is the same intrinsic
+      // decode as before plus one U+FFFD scan, so the hot path and the
+      // byte-identical digests are unchanged; then NBSP -> space at
+      // ingest, as the reference does on raw html (html2md.py:52,
+      // split_htmls_to_pages.py:69)
+      val html = CharsetSniff.decode(sliced).text.replace('\u00A0', ' ')
       extractHtml(url, html, cfg)
     } catch {
       case NonFatal(e) => failure(url, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))

@@ -390,7 +390,70 @@ object ExtractQueries {
     """.trim)
   )
 
+  /** Charset-sniffed ingest under the oracle gate (CharsetSniff, the
+    * decode step the extractor now runs on raw crawl bytes). Provable
+    * fixture: per document the wire bytes are BUILT inside the query in
+    * one of four deterministic shapes — UTF-8 with BOM plus a two-byte
+    * é, invalid UTF-8 whose 0xE9/0x97 bytes are windows-1252 é and em
+    * dash, a `<meta charset="iso-8859-1">` declaration (which WHATWG
+    * aliases to windows-1252) ahead of a high byte, and plain ASCII —
+    * and DuckDB predicts the decoded text of every shape with chr()
+    * arithmetic, so the BOM consumption, the fallback, the alias rule,
+    * and the hot sniff path are all hash-gated cross-engine.
+    *
+    * Scale shape: stateless per-row map; the decode itself is the
+    * extraction ingest (one intrinsic decode + one scan on the valid-
+    * UTF-8 hot path, per CharsetSniff's gate discipline).
+    */
+  val qxCharsetDecode = QueryDef(
+    "qx_charset_decode",
+    (s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      val Bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+      val Meta = "<meta charset=\"iso-8859-1\">"
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val bytes = (id % 4) match {
+            case 0 => Bom ++ text.getBytes(UTF_8) ++ " ".getBytes(UTF_8) ++
+              Array(0xC3.toByte, 0xA9.toByte)
+            case 1 => text.getBytes(UTF_8) ++ Array(0xE9.toByte, 0x97.toByte)
+            case 2 => Meta.getBytes(UTF_8) ++ text.getBytes(UTF_8) :+ 0xE9.toByte
+            case _ => text.getBytes(UTF_8)
+          }
+          val d = graft.extract.CharsetSniff.decode(bytes)
+          (id, d.charset, d.text)
+        })
+        .toDF("doc_id", "charset", "dec")
+        .select(col("doc_id"), col("charset"),
+          length(col("dec")).as("n_chars"),
+          md5(to_binary(col("dec"), lit("utf-8"))).as("dec_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      p AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'utf-8-bom'
+                 WHEN 1 THEN 'windows-1252'
+                 WHEN 2 THEN 'windows-1252'
+                 ELSE 'utf-8' END AS charset,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN text || ' ' || chr(233)
+                 WHEN 1 THEN text || chr(233) || chr(8212)
+                 WHEN 2 THEN '<meta charset="iso-8859-1">' || text || chr(233)
+                 ELSE text END AS dec
+        FROM d)
+      SELECT doc_id, charset, CAST(len(dec) AS INT) AS n_chars, md5(dec) AS dec_md5
+      FROM p ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qxExtractPlain, qxExtractCorpus, qxExtractSpans, qxExtractHashes, qxSqlExtractExpr,
-    qxOutlinks, qxCorpusAssemble)
+    qxOutlinks, qxCorpusAssemble, qxCharsetDecode)
 }
