@@ -61,7 +61,8 @@ object PlanDump {
       "q70_lm_score" -> "map-only bigram transform (no position self-join); unigram/bigram count tables partial-aggregate; scoring joins on pre-aggregated keys",
       "q71_url_canon" -> "canonicalization is a join-free codegen projection; ONE hash shuffle (keep-first window on canon) before the output sort",
       "q72_link_rank" -> "rank rounds are localCheckpoint-truncated (plan shows the final round over checkpointed RDDs, not an unrolled 4-deep lineage); edges⋈ranks shuffle on the same key; hub skew absorbed by partial aggregation on dst",
-      "qx_corpus_assemble" -> "the per-split rollup over the published corpus table (partition-pruned scan, partial+final aggregate); the assembly's own dedup + layout shuffles live in CorpusJob (one content-hash window + one (split,bucket) write shuffle, pinned by CorpusJobSpec)"
+      "qx_corpus_assemble" -> "the per-split rollup over the published corpus table (partition-pruned scan, partial+final aggregate); the assembly's own dedup + layout shuffles live in CorpusJob (one content-hash window + one (split,bucket) write shuffle, pinned by CorpusJobSpec)",
+      "qx_crawl_ingest" -> "the whole wire-bytes→markdown ingest (WARC parse, HTTP strip, charset sniff, extract) is ONE stateless per-row map over the scan — zero Exchange before the output sort, the 1000-executor crawl shape"
     )
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.bench.PlanDump)\n\n")

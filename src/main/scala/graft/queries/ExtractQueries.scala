@@ -453,7 +453,58 @@ object ExtractQueries {
     """.trim)
   )
 
+  /** END-TO-END crawl ingest — the full production path from wire bytes
+    * to markdown in ONE oracle-gated composition: WARC record (every
+    * third blob gzipped) → HTTP envelope strip → charset-sniffed decode
+    * (odd docs are windows-1252-encoded on the wire, so their é byte is
+    * invalid UTF-8 and must take the fallback; even docs are UTF-8) →
+    * boilerplate-wrapped extraction. DuckDB predicts the final markdown
+    * STRING itself (the qx_extract_plain normalization plus the chr(233)
+    * marker), so a regression anywhere in the four-stage chain breaks
+    * the hash. The stages are each gated alone (qx_warc_scan,
+    * qx_charset_decode, qx_extract_plain); this row gates their seams.
+    *
+    * Scale shape: a stateless per-row map over the scan — the exact
+    * shape a 1000-executor crawl ingest runs, segments to tasks, no
+    * shuffle before the output sort.
+    */
+  val qxCrawlIngest = QueryDef(
+    "qx_crawl_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      import graft.io.WarcPages
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val page = wrapHtml(text + " Café.")
+          // string-name overload: a captured Charset is not serializable
+          val pageBytes =
+            if (id % 2 == 1) page.getBytes("windows-1252") else page.getBytes(UTF_8)
+          val wire0 = WarcPages.buildResponse(
+            s"https://crawl.example/d/$id", "2024-01-01T00:00:00Z", pageBytes)
+          val wire = if (id % 3 == 0) WarcPages.gzip(wire0) else wire0
+          val rec = WarcPages.parse(wire).head
+          val html = WarcPages.httpBody(rec.body)
+          val dec = graft.extract.CharsetSniff.decode(html)
+          val doc = graft.extract.Extractor.extract(id.toString, html)
+          (id, dec.charset, if (rec.ok && doc.ok) 1 else 0, doc.markdown)
+        })
+        .toDF("doc_id", "charset", "ok", "markdown")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+             CAST(1 AS INT) AS ok,
+             regexp_replace(trim(text), ' {2,}', ' ', 'g') || ' Caf' || chr(233) || '.' AS markdown
+      FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+    """.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qxExtractPlain, qxExtractCorpus, qxExtractSpans, qxExtractHashes, qxSqlExtractExpr,
-    qxOutlinks, qxCorpusAssemble, qxCharsetDecode)
+    qxOutlinks, qxCorpusAssemble, qxCharsetDecode, qxCrawlIngest)
 }
