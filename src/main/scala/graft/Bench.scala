@@ -108,7 +108,11 @@ object Bench {
     import graft.bench.ScalingBench
     val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "1000000").toLong
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "450").toDouble
+    // calibrated to the driver's observed kill threshold (r4's 355 s
+    // passed, r5's longer run was rc:124; assume ~600 s): total must
+    // stay under ~560 even when a crushed window makes warm+round cost
+    // ~270 s, hence the 280 s reserve in the fresh-scaling condition
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "560").toDouble
     def storedOnly(): (ScalingBench.Report.Out, Int) = {
       val stored = ScalingBench.Report.loadAll(scalePages, 8, 32)
       if (stored.isEmpty) // fresh environment with no history: report zeros, never crash
@@ -151,27 +155,35 @@ object Bench {
     {
       val (repEarly, _) = storedOnly()
       val (loE, hiE) = latestBest()
-      println(lineFor(repEarly, 0, loE, hiE))
+      val early = lineFor(repEarly, 0, loE, hiE)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/bench_line.json"), early + "\n")
+      catch { case _: Throwable => () }
+      println(early)
       System.out.flush()
     }
 
-    // graceful degradation instead of a cliff: a busy-window query
-    // section (r6: one 52 s host-burst sample on a 0.4 s query) must
-    // not zero out the round's fresh scaling evidence — full rounds
-    // under 60% of budget, a single round under 75%, stored-runs only
-    // above that
+    // fresh scaling runs ONLY when the query section was fast — i.e. in
+    // a quiet window, which is also the only window whose fresh numbers
+    // add evidence (r6: a crushed-window round measured warm+round at
+    // ~270 s AND produced a 0.44 sample the stored fleet already
+    // documents). Budget arithmetic: worst observed warm+first-round is
+    // ~270 s, so a fresh attempt needs elapsed ≤ budget-280; each next
+    // round must fit its own measured predecessor's duration.
     val roundBudget =
-      if (elapsed < budgetSec * 0.6) maxRounds
-      else if (elapsed < budgetSec * 0.75) math.min(1, maxRounds)
-      else 0
+      if (elapsed < budgetSec - 280) maxRounds else 0
     val (rep, freshRounds) =
       if (roundBudget > 0) {
         try {
           ScalingBench.prepareCorpus(scalePages)
           ScalingBench.runAt(32, scalePages) // C2 warm for the timed rounds
+          var tRound = System.nanoTime()
           val rs = scala.collection.mutable.ArrayBuffer(ScalingBench.round(8, 32, scalePages))
-          while (rs.length < roundBudget && elapsed < budgetSec)
+          var lastRoundSec = (System.nanoTime() - tRound) / 1e9
+          while (rs.length < roundBudget && elapsed + lastRoundSec * 1.2 < budgetSec) {
+            tRound = System.nanoTime()
             rs += ScalingBench.round(8, 32, scalePages)
+            lastRoundSec = (System.nanoTime() - tRound) / 1e9
+          }
           (ScalingBench.Report.persistAndBuild(rs.toSeq, scalePages, 8, 32), rs.length)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] fresh scaling failed (${e.getMessage}); using stored runs")
@@ -202,6 +214,12 @@ object Bench {
     val line = lineFor(rep, freshRounds, loDps, hiDps)
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may not survive the driver's 2000-char tail")
+    // ALSO persist the line: if the sbt wrapper was killed mid-scaling,
+    // the forked JVM's stdout pipe is gone and println vanishes (r6:
+    // bench_detail.json landed but the final line never reached the
+    // log) — the file copy keeps the evidence either way
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/bench_line.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] line write failed: ${e.getMessage}") }
     println(line)
   }
 }
