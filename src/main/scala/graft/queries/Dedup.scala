@@ -671,7 +671,13 @@ object Dedup {
     * broadcast left join — no corpus shuffle at all before the per-doc
     * rollup (PlanAuditSpec asserts the broadcast). Flagged docs carry
     * counts, not just a bit, so thresholded policies (drop vs
-    * span-redact) stay downstream decisions.
+    * span-redact) stay downstream decisions. When even the distinct
+    * hash relation outgrows a row-wise broadcast (10^9+ windows), the
+    * scale path is the two-tier Bloom sieve pinned by
+    * BloomDecontamSpec: bloom_filter_agg folds the benchmark side into
+    * one broadcastable binary (zero false negatives by construction),
+    * might_contain sieves the corpus map-side, and THIS exact pass runs
+    * only over the sieve's survivors.
     */
   val q57Decontam = QueryDef(
     "q57_decontam",
