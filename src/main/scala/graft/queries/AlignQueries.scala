@@ -95,8 +95,12 @@ object AlignQueries {
     "qx_page_align",
     (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
+      // fanOut: the BoW-train + staircase + fuzzy-refine fit per doc is
+      // the most CPU-heavy row-local map in the suite, and the table is
+      // one parquet split — single-threaded without the spread
+      QueryDef.fanOut(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        "doc_id")
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val words = text.trim.split("\\s+")
@@ -147,8 +151,9 @@ object AlignQueries {
       import s.implicits._
       import graft.extract.MarkdownSerializer.{Serialized, SpanBody}
       import graft.align.PageAssembler
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
+      QueryDef.fanOut(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        "doc_id")
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val words = text.trim.split("\\s+")

@@ -97,7 +97,10 @@ object Dedup {
 
   private def sigDf(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
-    base.select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut: documents is a one-split scan (dupCorpus two), so the
+    // shingle+minhash map ran on 1-2 cores; spread before the CPU work
+    QueryDef.fanOut(base.select(col("doc_id"), col("text")), "doc_id")
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         minhashSigScala(text).map(m => (id, m(0), m(1), m(2), m(3), m(4), m(5), m(6), m(7)))
       }
@@ -242,11 +245,23 @@ object Dedup {
   val q42BandClaims = QueryDef(
     "q42_band_claims",
     (s, dir) => {
-      // persist barrier: without it CollapseProject inlines the simhash
-      // fold into every band element (4× the vote arithmetic)
-      val sh = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), simhashMixedCol(col("text")).as("simhash"))
-        .persist()
+      import s.implicits._
+      // typed-map twin of simhashMixedCol (bit-identical by construction,
+      // pinned by EventStreamsSpec's streaming/batch agreement): the
+      // Column fold is an interpreted HOF over every token × 16 bits —
+      // measured ~2 s single-threaded at sf0.1 — where the compiled loop
+      // is milliseconds; fanOut spreads the one-split scan first. The
+      // Option[Long] keeps the Column twin's NULL propagation (NULL text
+      // → NULL simhash → 4 NULL band rows), and with the fold gone the
+      // CollapseProject persist barrier is no longer needed.
+      val sh = QueryDef.fanOut(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+          "doc_id")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, if (t == null) None else Some(simhashMixedScala(t)))
+        })
+        .toDF("doc_id", "simhash")
       val claims = sh
         .select(col("doc_id"), posexplode(simhashBands(col("simhash"))).as(Seq("band_idx", "band_val")))
       val w = Window.partitionBy("band_idx", "band_val")

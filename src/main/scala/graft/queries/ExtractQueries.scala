@@ -43,8 +43,11 @@ object ExtractQueries {
     "qx_extract_plain",
     (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
+      // fanOut: the whole table is one parquet split — without it the
+      // full HTML-extraction map runs on ONE core (guide §2.5)
+      QueryDef.fanOut(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        "doc_id")
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           (id, Extractor.extractHtml(id.toString, wrapHtml(text)).markdown)
@@ -147,8 +150,9 @@ object ExtractQueries {
     "qx_extract_spans",
     (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
+      QueryDef.fanOut(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        "doc_id")
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val html = wrapPrefix + text +
@@ -412,9 +416,11 @@ object ExtractQueries {
       import java.nio.charset.StandardCharsets.UTF_8
       val Bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
       val Meta = "<meta charset=\"iso-8859-1\">"
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-        .filter(col("text").isNotNull)
+      QueryDef.fanOut(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull),
+        "doc_id")
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val bytes = (id % 4) match {
@@ -474,9 +480,13 @@ object ExtractQueries {
       import s.implicits._
       import java.nio.charset.StandardCharsets.UTF_8
       import graft.io.WarcPages
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-        .filter(col("text").isNotNull)
+      // fanOut: WARC build+parse+gunzip+sniff+extract per row over a
+      // one-split scan — the heaviest single-threaded map in the suite
+      QueryDef.fanOut(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull),
+        "doc_id")
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val page = wrapHtml(text + " Café.")

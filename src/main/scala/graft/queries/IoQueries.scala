@@ -78,8 +78,11 @@ object IoQueries {
   val qxPipeCat = QueryDef(
     "qx_pipe_cat",
     (s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "text")
+      // fanOut: one worker subprocess per PARTITION — a one-split scan
+      // would round-trip every doc through a single /bin/cat serially
+      val docs = QueryDef.fanOut(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id")
       graft.io.ExternalProcess.pipe(docs, "doc_id", "text", Seq("/bin/cat"))
         .filter(_.ok)
         .toDF()
@@ -171,9 +174,11 @@ object IoQueries {
       import s.implicits._
       import java.nio.charset.StandardCharsets.UTF_8
       import graft.io.WarcPages
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-        .filter(col("text").isNotNull)
+      QueryDef.fanOut(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull),
+        "doc_id")
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val uri = s"https://crawl.example/d/$id"
