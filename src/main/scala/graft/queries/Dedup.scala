@@ -321,13 +321,22 @@ object Dedup {
     * verify pipeline behind q22 (reporting) and q38 (clustering). */
   private def pairsWithJaccard(s: SparkSession, d: DataFrame): DataFrame = {
     val bands = bandsDf(sigDf(s, d))
+    // broadcast hints: the band stream and the candidate-pair set are a
+    // few narrow longs per doc, but they sit behind typed maps whose
+    // size the planner cannot estimate — without the hint both joins
+    // fall back to shuffling the token arrays (guide §3.1). The build
+    // sides stay bounded at scale: bands is 4 rows/doc of 3 longs, and
+    // cand is the LSH-bucket pair set the whole chain exists to keep
+    // small (a real deployment shards this join by band prefix long
+    // before any build side nears the 8 GB cap).
     val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
-      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2")), Seq("band", "bkey"))
+      .join(broadcast(bands.select(col("band"), col("bkey"), col("doc_id").as("id2"))),
+        Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     val t = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-    cand
-      .join(t.select(col("doc_id").as("id1"), col("tk").as("tk1")), "id1")
+    t.select(col("doc_id").as("id1"), col("tk").as("tk1"))
+      .join(broadcast(cand), "id1")
       .join(t.select(col("doc_id").as("id2"), col("tk").as("tk2")), "id2")
       .select(col("id1"), col("id2"),
         size(array_intersect(col("tk1"), col("tk2"))).as("inter"),
@@ -366,6 +375,12 @@ object Dedup {
     """.trim)
   )
 
+  // phase hooks for graft.queries.PhaseProbe (bench tooling only)
+  private[queries] def probePairsWithJaccard(s: SparkSession, dir: String): DataFrame =
+    pairsWithJaccard(s, dupCorpus(s, dir))
+  private[queries] def probeCc(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(verifiedPairs(s, dupCorpus(s, dir), 800L))
+
   /** Verified near-dup edges over a corpus: LSH candidate pairs whose
     * token-set Jaccard clears `jmilliMin` per-mille. */
   private def verifiedPairs(s: SparkSession, d: DataFrame, jmilliMin: Long): DataFrame =
@@ -391,16 +406,25 @@ object Dedup {
     var edges = pairs
       .select(greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // carry the edge count across rounds: each round already counts its
+    // OWN output for the convergence gate, so recounting the previous
+    // round's set was a redundant job per iteration
+    var edgeCount = edges.count()
     var iter = 0
     val maxIter = 32 // log²-round algorithm: 32 covers any realistic graph
-    var done = edges.isEmpty
+    var done = edgeCount == 0L
     while (!done && iter < maxIter) {
       // large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u})
       val und = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       val lm = und.withColumn("m", least(min(col("v")).over(w), col("u")))
+      // no distinct here: the small-star min is duplicate-insensitive
+      // and `next` ends in its own distinct, so the intermediate dedup
+      // bought nothing but a third shuffle per round (guide §2.4 —
+      // "a distinct on data that is already unique"; here, one whose
+      // only effect downstream is already produced by the final one)
       val ls = lm.filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star: edges now all point downhill (u > v); u and every
       // neighbor re-link to m = min(N(u))
       val sm = ls.withColumn("m", min(col("v")).over(w))
@@ -411,8 +435,10 @@ object Dedup {
       // both sides are distinct sets, so equal counts + one-sided
       // emptiness ⟹ equality; the count gate skips the expensive
       // except entirely in the rounds that are still shrinking
-      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      val nextCount = next.count()
+      done = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!done)
@@ -437,8 +463,12 @@ object Dedup {
     (s, dir) => {
       val d = dupCorpus(s, dir)
       val stars = connectedComponents(verifiedPairs(s, d, 800L))
+      // stars is one row per non-root member of a duplicate cluster —
+      // the near-dup set itself, bounded like cand above; broadcast it
+      // so the corpus side never shuffles for the cluster-id attach
       d.select(col("doc_id"))
-        .join(stars.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+        .join(broadcast(stars.select(col("u").as("doc_id"), col("v").as("root"))),
+          Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
         .orderBy("doc_id")
     },

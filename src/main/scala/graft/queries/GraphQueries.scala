@@ -42,12 +42,17 @@ object GraphQueries {
             pmod(col("doc_id") * col("doc_id") * 31L + k * 7L, lit(n))): _*)).as("dst"))
         .localCheckpoint()
       var ranks = docs.select(col("doc_id"), lit(1000000000000L).as("rank"))
+      // ranks/contrib are node-count rows (≪ the edge list, and tiny
+      // beside the 8 GB broadcast cap at any bench sf): explicit
+      // broadcast hints — the checkpointed intermediates carry no size
+      // stats, so without the hint the planner falls back to
+      // shuffle joins of the edge list every round (guide §3.1)
       for (_ <- 1 to 3) {
-        val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+        val contrib = edges.join(broadcast(ranks), edges("src") === ranks("doc_id"))
           .select(col("dst"), expr("rank div 3").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("in_sum"))
         ranks = docs
-          .join(contrib, docs("doc_id") === contrib("dst"), "left")
+          .join(broadcast(contrib), docs("doc_id") === contrib("dst"), "left")
           .select(docs("doc_id"),
             expr("150000000000L + (coalesce(in_sum, 0L) * 85L) div 100L").as("rank"))
           .localCheckpoint()
@@ -125,16 +130,25 @@ object GraphQueries {
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
         .localCheckpoint()
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      // out-degree folded onto each edge ONCE: the rounds previously
+      // re-joined (and re-aggregated) outdeg every iteration — 3× the
+      // same shuffle for a value that never changes between rounds
+      val edgesOd = edges
+        .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+        .select(col("src"), col("dst"), col("od"))
+        .localCheckpoint()
       var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+      // broadcast hints as in q63: ranks is node-count rows and contrib
+      // hub-count rows — both far under the broadcast cap — but the
+      // checkpointed inputs carry no size stats, so the planner would
+      // otherwise shuffle the edge list each round (guide §3.1)
       for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(outdeg, "src")
-          .join(ranks, edges("src") === ranks("node"))
+        val contrib = edgesOd
+          .join(broadcast(ranks), col("src") === col("node"))
           .select(col("dst"), expr("rank div od").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("in_sum"))
         ranks = nodes
-          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
           .select(col("node"),
             expr("150000L + (coalesce(in_sum, 0L) * 85L) div 100L").as("rank"))
           .localCheckpoint()
@@ -143,7 +157,7 @@ object GraphQueries {
       // total rank mass of the pages' distinct link targets — the
       // quality-filter feed (pages linking into high-authority hubs)
       edges
-        .join(ranks, edges("dst") === ranks("node"))
+        .join(broadcast(ranks), edges("dst") === ranks("node"))
         .select(split(col("src"), "/").getItem(3).as("family"),
           col("src"), col("rank"))
         .groupBy("family")
