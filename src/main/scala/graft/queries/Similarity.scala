@@ -174,8 +174,12 @@ object Similarity {
     val grouped = cTable.crossJoin(superRow)
       .select(col("cid"), col("ce"), nearestCell(col("ce"), col("cents")).as("scid"))
     // level 1b: every vector probes its top-3 super-cells (persist barrier
-    // before the field extraction — the CollapseProject rule)
-    val routed = e.crossJoin(superRow)
+    // before the field extraction — the CollapseProject rule); fanOut
+    // spreads the one-split scan under the interpreted routing fold
+    val spark = e.sparkSession
+    import spark.implicits._
+    val routed = QueryDef.fanOut(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(superRow)
       .select(col("vec_id"), col("embedding"),
         top3Cells(col("embedding"), col("cents")).as("sbest"))
       .persist()
@@ -185,10 +189,22 @@ object Similarity {
     // level 2: exact argmin over the probed super-cells' centroids only.
     // No broadcast hint: past the broadcast regime this is a shuffle join
     // on scid (√k distinct keys, ~√k centroids + ~3n/√k vectors per key —
-    // no skew collapse); below it AQE broadcasts on its own.
+    // no skew collapse); below it AQE broadcasts on its own. The
+    // distance itself runs as a compiled loop (the interpreted sqDist
+    // fold over the O(n·√k) pair stream was q41's hot spot) — same
+    // float→double widening, fold order and HALF_UP round as the
+    // Column form (the SimilaritySpec exhaustive-probe equality pins it
+    // against the flat path's Column distances).
     val d = routed.join(grouped, Seq("scid"))
-      .select(col("vec_id").as("vid"), col("cid"),
-        round(sqDist(col("embedding"), col("ce")), 6).as("d26"))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("ce"))
+      .as[(Long, Long, Array[Float], Array[Double])]
+      .mapPartitions(_.map { case (vid, cid, emb, ce) =>
+        var ss = 0.0
+        var i = 0
+        while (i < emb.length) { val d0 = emb(i).toDouble - ce(i); ss += d0 * d0; i += 1 }
+        (vid, cid, round6(ss))
+      })
+      .toDF("vid", "cid", "d26")
     top3FromPairs(e, d)
   }
 
@@ -224,6 +240,43 @@ object Similarity {
 
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  // Compiled twins of the cosine Column expressions. zip_with/aggregate
+  // HOFs are interpreted with no codegen and no CSE, so the pairwise
+  // cosine over candidate×query joins was the hot loop of every recall
+  // query (guide §4.1: prefer code the engine can compile). Arithmetic
+  // is IDENTICAL to the folds they replace: the same float→double
+  // widening per element, the same left-to-right summation order per
+  // accumulator, the same HALF_UP 6-decimal round — the established
+  // assignScala/scalaTopK equivalence discipline (SimilaritySpec).
+
+  /** Ordered dot product with float→double widening per element. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** round6( a·b / (na·nb) ) with caller-hoisted norms — the twin of
+    * `round(dot(a,b) / (an * bn), 6)`. */
+  private def cos6Hoisted(a: Array[Float], b: Array[Float], an: Double, bn: Double): Double =
+    round6(dotD(a, b) / (an * bn))
+
+  /** round6( a·b / (‖a‖·‖b‖) ) with inline norms — the twin of
+    * `round(dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), 6)`; the
+    * three folds each accumulate in element order exactly like the
+    * Column aggregates they replace. */
+  private def cos6Inline(a: Array[Float], b: Array[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    round6(dp / (math.sqrt(na) * math.sqrt(nb)))
+  }
 
   /** Top-k cells by round6(squared L2), ties on ascending cid (cents
     * MUST arrive cid-ascending; strict-< insertion keeps the earlier =
@@ -289,6 +342,14 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
+    // deliberately NO fanOut here: the assignment chains run MANY small
+    // jobs over this persisted pass (Lloyd rounds, codebook collects,
+    // recall joins), and at bench scale 32-way persisted partitions
+    // cost more in per-job task scheduling than the trivial per-row
+    // loop gains — measured +0.2-0.6 s across q40/q49/q53/q55. The
+    // pairwise scoring that WAS the hot loop is compiled now
+    // (cos6Hoisted/cos6Inline), so partition-level parallelism no
+    // longer carries the query.
     e.select(col("vec_id"), col("embedding"), col(by).cast("array<double>").as("byv"))
       .as[(Long, Array[Float], Array[Double])]
       .mapPartitions { it =>
@@ -332,14 +393,19 @@ object Similarity {
   val q23CosineTopk = QueryDef(
     "q23_cosine_topk",
     (s, dir) => {
+      import s.implicits._
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val c = e.filter(col("vec_id") >= 5).select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val sim = dot(col("qe"), col("ce")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim6").desc, col("cid").asc)
+      // compiled cosine twin of the interpreted fold (cos6Inline)
       c.join(broadcast(q))
-        .withColumn("sim6", round(sim, 6))
+        .select(col("qid"), col("cid"), col("qe"), col("ce"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .mapPartitions(_.map { case (qid, cid, qe, ce) =>
+          (qid, cid, cos6Inline(qe, ce))
+        })
+        .toDF("qid", "cid", "sim6")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("qid", "rk", "cid", "sim6")
@@ -396,7 +462,8 @@ object Similarity {
         df.select(col("vec_id").as(idName), posexplode(col("embedding")).as(Seq("pos0", "v")))
           .select(col(idName), (col("pos0") + 1).as("pos"),
             round(col("v").cast("double"), 6).cast("decimal(9,6)").as("x"))
-      val v = expl(e.filter(col("vec_id") >= 4), "vid").withColumnRenamed("x", "vx")
+      val v = expl(QueryDef.fanOut(e.filter(col("vec_id") >= 4), "vec_id"), "vid")
+        .withColumnRenamed("x", "vx")
       val c = broadcast(expl(e.filter(col("vec_id") < 4), "cid").withColumnRenamed("x", "cx"))
       val d = v.join(c, "pos")
         .groupBy("vid", "cid")
@@ -438,6 +505,7 @@ object Similarity {
   val q31EmbedNeardup = QueryDef(
     "q31_embed_neardup",
     (s, dir) => {
+      import s.implicits._
       // norms hoisted BEFORE the join (inside assignedDf): the exchange
       // materializes them once per vector, not once per candidate pair
       val assigned = assignedDf(s.read.parquet(s"$dir/embeddings.parquet"))
@@ -445,10 +513,15 @@ object Similarity {
         col("embedding").as("e1"), col("nrm").as("n1"))
       val b = assigned.select(col("home").as("cell"), col("vec_id").as("v2"),
         col("embedding").as("e2"), col("nrm").as("n2"))
-      val cos = dot(col("e1"), col("e2")) / (col("n1") * col("n2"))
       val w = Window.partitionBy(col("cell")).orderBy(col("cos6").desc, col("v1").asc, col("v2").asc)
+      // compiled cosine twin (cos6Hoisted) over the within-cell pairs
       a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
-        .withColumn("cos6", round(cos, 6))
+        .select(col("cell"), col("v1"), col("v2"), col("e1"), col("e2"), col("n1"), col("n2"))
+        .as[(Long, Long, Long, Array[Float], Array[Float], Double, Double)]
+        .mapPartitions(_.map { case (cell, v1, v2, e1, e2, n1, n2) =>
+          (cell, v1, v2, cos6Hoisted(e1, e2, n1, n2))
+        })
+        .toDF("cell", "v1", "v2", "cos6")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("cell", "rk", "v1", "v2", "cos6")
@@ -481,16 +554,22 @@ object Similarity {
   val q32IvfSearch = QueryDef(
     "q32_ivf_search",
     (s, dir) => {
+      import s.implicits._
       val assigned = assignedDf(s.read.parquet(s"$dir/embeddings.parquet"))
       val qs = assigned.filter(col("vec_id") % 100 === 4) // deterministic query subset
         .select(col("vec_id").as("qid"), col("home").as("qhome"),
           explode(col("probes")).as("pcell"), col("embedding").as("qe"), col("nrm").as("qn"))
       val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
         col("embedding").as("ne"), col("nrm").as("cn"))
-      val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+      // compiled cosine twin (cos6Hoisted) over the probed-cell pairs
       qs.join(cands, col("pcell") === col("ncell") && col("qid") =!= col("nid"))
-        .withColumn("cos6", round(cos, 6))
+        .select(col("qid"), col("qhome"), col("nid"), col("qe"), col("ne"), col("qn"), col("cn"))
+        .as[(Long, Long, Long, Array[Float], Array[Float], Double, Double)]
+        .mapPartitions(_.map { case (qid, qhome, nid, qe, ne, qn, cn) =>
+          (qid, qhome, nid, cos6Hoisted(qe, ne, qn, cn))
+        })
+        .toDF("qid", "qhome", "nid", "cos6")
         .withColumn("rk", row_number().over(w2))
         .filter(col("rk") === 1)
         .select(col("qid"), col("qhome").as("cell"), col("nid"), col("cos6"))
@@ -526,14 +605,23 @@ object Similarity {
     * compute it ONCE and share it across budgets. */
   private def exactTop5(assigned: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cands = assigned.select(col("vec_id").as("nid"),
       col("embedding").as("ne"), col("nrm").as("cn"))
-    val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
     val qsE = assigned.filter(col("vec_id") % 100 === 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    // compiled cosine (cos6Hoisted) over the candidate × query pairs —
+    // the brute-force baseline is the widest pair set every recall
+    // query pays; the interpreted fold here dominated their runtime
     cands.join(broadcast(qsE), col("qid") =!= col("nid"))
-      .withColumn("cos6", round(cos, 6))
+      .select(col("qid"), col("nid"), col("qe"), col("ne"), col("qn"), col("cn"))
+      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+      .mapPartitions(_.map { case (qid, nid, qe, ne, qn, cn) =>
+        (qid, nid, cos6Hoisted(qe, ne, qn, cn))
+      })
+      .toDF("qid", "nid", "cos6")
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
       .select(col("qid"), col("nid"))
   }
@@ -545,15 +633,21 @@ object Similarity {
   private def recallFromAssigned(assigned: org.apache.spark.sql.DataFrame,
       exactOpt: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val cands = assigned.select(col("vec_id").as("nid"), col("home").as("ncell"),
       col("embedding").as("ne"), col("nrm").as("cn"))
-    val cos = dot(col("qe"), col("ne")) / (col("qn") * col("cn"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
     val qsP = assigned.filter(col("vec_id") % 100 === 4)
       .select(col("vec_id").as("qid"), explode(col("probes")).as("pcell"),
         col("embedding").as("qe"), col("nrm").as("qn"))
     val ivf = qsP.join(cands, col("pcell") === col("ncell") && col("qid") =!= col("nid"))
-      .withColumn("cos6", round(cos, 6))
+      .select(col("qid"), col("nid"), col("qe"), col("ne"), col("qn"), col("cn"))
+      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+      .mapPartitions(_.map { case (qid, nid, qe, ne, qn, cn) =>
+        (qid, nid, cos6Hoisted(qe, ne, qn, cn))
+      })
+      .toDF("qid", "nid", "cos6")
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
       .select(col("qid"), col("nid"))
     val exact = exactOpt.getOrElse(exactTop5(assigned))
@@ -658,6 +752,8 @@ object Similarity {
   private def normRows(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    // no fanOut (see assignScala): many small downstream jobs make
+    // 32-way persisted partitions a net loss at this row count
     e.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (vid, emb) =>
@@ -1295,15 +1391,20 @@ object Similarity {
       val wq = Window.partitionBy(col("qid")).orderBy(col("e").asc, col("nid").asc)
       val pq5 = est.withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
         .select(col("qid"), col("nid"))
-      // exact cosine top-5 over the raw embeddings (the q39 standard)
+      // exact cosine top-5 over the raw embeddings (the q39 standard);
+      // compiled cosine twin (cos6Inline) over the fanned-out candidates
+      import s.implicits._
       val q = e.filter(col("vec_id") % 100 === 4)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      val cos = dot(col("qe"), col("ne")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne"))))
       val we = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
       val exact = c.join(broadcast(q), col("qid") =!= col("nid"))
-        .withColumn("cos6", round(cos, 6))
+        .select(col("qid"), col("nid"), col("qe"), col("ne"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .mapPartitions(_.map { case (qid, nid, qe, ne) =>
+          (qid, nid, cos6Inline(qe, ne))
+        })
+        .toDF("qid", "nid", "cos6")
         .withColumn("rk", row_number().over(we)).filter(col("rk") <= 5)
         .select(col("qid"), col("nid"))
       recallScore(q.select(col("qid")), pq5, exact)
@@ -1373,16 +1474,21 @@ object Similarity {
       val ws = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
       val short = est.withColumn("rk", row_number().over(ws)).filter(col("rk") <= 50)
         .select("qid", "nid")
-      // stage 3: exact cosine re-rank of the shortlist
+      // stage 3: exact cosine re-rank of the shortlist — compiled
+      // cosine twin (cos6Inline) of the interpreted fold
+      import s.implicits._
       val q = e.filter(col("vec_id") % 100 === 4)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val cos = dot(col("qe"), col("ne")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne"))))
       val wr = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
       val top5 = short
         .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
         .join(broadcast(q), Seq("qid"))
-        .withColumn("cos6", round(cos, 6))
+        .select(col("qid"), col("nid"), col("qe"), col("ne"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .mapPartitions(_.map { case (qid, nid, qe, ne) =>
+          (qid, nid, cos6Inline(qe, ne))
+        })
+        .toDF("qid", "nid", "cos6")
         .withColumn("rk", row_number().over(wr)).filter(col("rk") <= 5)
         .select("qid", "nid")
       // score against the brute-force exact baseline — the q39-proven
