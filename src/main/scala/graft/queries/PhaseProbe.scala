@@ -30,12 +30,29 @@ object PhaseProbe {
       println(f"[phase] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
     }
     val rounds = args.headOption.flatMap(_.toIntOption).getOrElse(2)
+    import spark.implicits._
+    def q72Links() = graft.gen.SyntheticCorpus
+      .generate(spark, ExtractQueries.corpusSize(sfDir))
+      .mapPartitions(_.flatMap { r =>
+        graft.extract.Outlinks.extract(r.html).map(l => (r.url, l.href))
+      })
+      .toDF("url", "href")
+    def q72Edges() = q72Links()
+      .select(col("url").as("src"),
+        when(col("href").startsWith("/"),
+          concat(regexp_extract(col("url"), "^(https?://[^/]+)", 1), col("href")))
+          .otherwise(col("href")).as("dst"))
+      .distinct()
     // warmup
     Dedup.q38DedupClusters.fn(spark, sfDir).count()
+    GraphQueries.q72LinkRank.fn(spark, sfDir).count()
     for (_ <- 1 to rounds) {
       time("full q38")(Dedup.q38DedupClusters.fn(spark, sfDir).count())
       time("pairsJaccard.count")(Dedup.probePairsWithJaccard(spark, sfDir).count())
       time("verified+cc")(Dedup.probeCc(spark, sfDir).count())
+      time("q72 links only")(q72Links().count())
+      time("q72 edges distinct")(q72Edges().count())
+      time("full q72")(GraphQueries.q72LinkRank.fn(spark, sfDir).count())
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -694,20 +694,24 @@ object Similarity {
       .getField("c1")
   }
 
-  /** One Lloyd iteration over a codebook TABLE (cid, ce): assign every
-    * normalized vector to its nearest cell (broadcast fold, map-only),
-    * recompute each cell's centroid as the exact-decimal per-dimension
-    * mean, keep the previous centroid for cells that lost all members.
+  /** One Lloyd iteration over a driver-side codebook (the k-means-on-
+    * Spark norm, bounded by the MaxBroadcastCells contract): assign
+    * every normalized vector to its nearest cell (broadcast typed map,
+    * map-only — no interpreted HOFs in the O(n·k·dim) loop), recompute
+    * each cell's centroid as the exact-decimal per-dimension mean, keep
+    * the previous centroid for cells that lost all members.
     * Distributed shape: the assignment never shuffles; the mean is one
-    * (cell, pos) hash aggregate — k·d rows out, independent of n.
+    * (cell, pos) hash aggregate — k·d rows out, independent of n — and
+    * the per-round driver state is the ≤ k-row codebook itself (the
+    * DataFrame round-trip this replaces re-collected the codebook AND
+    * paid a join + persist per round for the keep-previous merge, which
+    * is a k-row Map.getOrElse).
     */
-  private def lloydRound(en: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private def lloydRound(en: org.apache.spark.sql.DataFrame,
+      cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
     val spark = en.sparkSession
     import spark.implicits._
-    // driver-side codebook per round (k rows — the k-means-on-Spark norm);
-    // the typed map keeps the hot O(n·k·dim) loop out of interpreted HOFs
-    val bc = spark.sparkContext.broadcast(collectCents(cb))
+    val bc = spark.sparkContext.broadcast(cents)
     val assigned = en.select(col("vec_id"), col("ne")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -720,9 +724,10 @@ object Similarity {
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos0"), col("cv")))).as("pcs"))
       .select(col("cell").as("cid"), transform(col("pcs"), x => x.getField("cv")).as("nce"))
-    cb.join(means, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("nce"), col("ce")).as("ce"))
-      .persist()
+    // ≤ k rows by construction (one per surviving cell, k bounded by
+    // the same contract collectCents asserts)
+    val updated = means.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    cents.map { case (cid, ce) => (cid, updated.getOrElse(cid, ce)) }
   }
 
   /** L2-normalize + first-⌈√n⌉ init + 3 exact-decimal Lloyd rounds, then
@@ -793,11 +798,10 @@ object Similarity {
     // "sample" the untrained √n chain uses (centroidTable), but on the
     // spherical coordinates the Lloyd rounds refine
     val k = math.min(math.ceil(math.sqrt(en.count().toDouble)).toLong, MaxBroadcastCells)
-    val cb0 = en.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("ne").as("ce"))
-      .persist()
+    val cb0 = collectCents(en.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("ne").as("ce")))
     val trained = (1 to 3).foldLeft(cb0)((cb, _) => lloydRound(en, cb))
-    assignScala(en, collectCents(trained), by = "ne", probes = probes)
+    assignScala(en, trained, by = "ne", probes = probes)
   }
 
   /** The trained-quantizer CTE chain (normalize → first-⌈√n⌉ init →
@@ -1204,14 +1208,10 @@ object Similarity {
     * codebooks (8×16 = 128 centroids — driver-side by construction,
     * the bounded-codebook contract): round6 distances, strict-<,
     * ascending cid — the repo's one tie rule. */
-  private def pqAssign(sv: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private def pqAssign(sv: org.apache.spark.sql.DataFrame,
+      cents: Map[Int, Array[(Long, Array[Double])]]): org.apache.spark.sql.DataFrame = {
     val spark = sv.sparkSession
     import spark.implicits._
-    val cents: Map[Int, Array[(Long, Array[Double])]] =
-      cb.select(col("sub"), col("cid"), col("ce")).collect()
-        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
     val bc = spark.sparkContext.broadcast(cents)
     sv.as[SubRow]
       .mapPartitions { it =>
@@ -1224,10 +1224,13 @@ object Similarity {
   /** One exact-decimal Lloyd round over all subspaces at once: the
     * mean aggregate groups by (sub, cell, pos) — m·ks·(dim/m) = dim·ks
     * rows out, independent of n. Cells that lost every member keep
-    * their previous centroid. */
-  private def pqLloydRound(sv: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val means = pqAssign(sv, cb)
+    * their previous centroid. The codebook stays a driver-side map
+    * between rounds (128 entries, the bounded-codebook contract) —
+    * same lloydRound rationale: the DataFrame round-trip paid a
+    * collect + join + persist per round for what is a Map merge. */
+  private def pqLloydRound(sv: org.apache.spark.sql.DataFrame,
+      cents: Map[Int, Array[(Long, Array[Double])]]): Map[Int, Array[(Long, Array[Double])]] = {
+    val means = pqAssign(sv, cents)
       .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos0", "v")))
       .groupBy("sub", "cell", "pos0")
       .agg((sum(col("v").cast("decimal(9,6)")).cast("double") / count(lit(1))).as("cv"))
@@ -1235,17 +1238,23 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos0"), col("cv")))).as("pcs"))
       .select(col("sub"), col("cell").as("cid"),
         transform(col("pcs"), x => x.getField("cv")).as("nce"))
-    cb.join(means, Seq("sub", "cid"), "left")
-      .select(col("sub"), col("cid"), coalesce(col("nce"), col("ce")).as("ce"))
-      .persist()
+    val updated = means.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray).toMap
+    cents.map { case (sub, cells) =>
+      sub -> cells.map { case (cid, ce) => (cid, updated.getOrElse((sub, cid), ce)) }
+    }
   }
 
   /** Trained per-sub codebooks: first-PqKs subvectors as init, then
-    * PqRounds Lloyd rounds. */
-  private def pqCodebook(sv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cb0 = sv.filter(col("vec_id") < PqKs)
+    * PqRounds Lloyd rounds. Init is a PqM·PqKs-row bounded collect,
+    * kept cid-ascending per sub (the scalaTopK tie-rule contract). */
+  private def pqCodebook(sv: org.apache.spark.sql.DataFrame)
+      : Map[Int, Array[(Long, Array[Double])]] = {
+    val cb0: Map[Int, Array[(Long, Array[Double])]] = sv.filter(col("vec_id") < PqKs)
       .select(col("sub"), col("vec_id").as("cid"), col("sv").as("ce"))
-      .persist()
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
     (1 to PqRounds).foldLeft(cb0)((cb, _) => pqLloydRound(sv, cb))
   }
 
@@ -1296,14 +1305,30 @@ object Similarity {
   /** Per-query ADC distance tables: the query sample's exact
     * subvectors against all per-sub centroids — (qid, sub, cid, d26),
     * 8·16 rows per query. ONE definition shared by q54 and q55 (the
-    * same one-definition rule as the SQL chains). */
-  private def pqQueryTables(sv: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+    * same one-definition rule as the SQL chains). Compiled loop over
+    * the driver-side codebook — same round6 squared-distance fold as
+    * the Column form it replaces. */
+  private def pqQueryTables(sv: org.apache.spark.sql.DataFrame,
+      cents: Map[Int, Array[(Long, Array[Double])]]): org.apache.spark.sql.DataFrame = {
+    val spark = sv.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
     sv.filter(col("vec_id") % 100 === 4)
       .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("qid"), col("sub"), col("cid"),
-        round(sqDist(col("sv"), col("ce")), 6).as("d26"))
+      .as[(Long, Int, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, sub, v) =>
+          cs(sub).iterator.map { case (cid, ce) =>
+            var ss = 0.0
+            var i = 0
+            while (i < v.length) { val d0 = v(i) - ce(i); ss += d0 * d0; i += 1 }
+            (qid, sub, cid, round6(ss))
+          }
+        }
+      }
+      .toDF("qid", "sub", "cid", "d26")
+  }
 
   /** Scored recall rows (qid, hits, recall5): predicted top-5 against
     * the exact top-5 over the given query list — ONE definition of the
