@@ -40,8 +40,11 @@ object CharsetSniff {
            "us-ascii" | "ascii" | "windows-1252" | "cp1252" =>
         // WHATWG aliases the whole latin-1/ascii family to windows-1252
         Some((Cp1252, "windows-1252"))
-      case "utf-16" | "utf-16le" => Some((StandardCharsets.UTF_16LE, "utf-16le"))
-      case "utf-16be" => Some((StandardCharsets.UTF_16BE, "utf-16be"))
+      // WHATWG: a utf-16 family label read via the BYTE prescan proves
+      // the content is NOT utf-16 (the ASCII meta tag was readable), so
+      // the spec maps these labels to utf-8 — decoding the page as
+      // UTF-16 would mojibake every real mislabeled page (r6 advice)
+      case "utf-16" | "utf-16le" | "utf-16be" => Some((StandardCharsets.UTF_8, "utf-8"))
       case _ => None
     }
 
@@ -71,9 +74,15 @@ object CharsetSniff {
     if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
       return Decoded(new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16LE),
         "utf-16le")
-    // 2. declaration in the prescan window
+    // 2. declaration in the prescan window. An explicit utf-8 label
+    // short-circuits to the LENIENT decode: a page that says utf-8 with
+    // a few invalid bytes gets per-byte U+FFFD, not a whole-document
+    // cp1252 fallback (r6 advice; the strict-confirm path below remains
+    // for UNDECLARED content where the fallback is the right guess).
     declared(bytes) match {
-      case Some((cs, label)) if cs ne StandardCharsets.UTF_8 =>
+      case Some((cs, label)) if cs eq StandardCharsets.UTF_8 =>
+        return Decoded(new String(bytes, StandardCharsets.UTF_8), label)
+      case Some((cs, label)) =>
         return Decoded(new String(bytes, cs), label)
       case _ => ()
     }

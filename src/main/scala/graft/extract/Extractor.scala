@@ -41,8 +41,15 @@ object Extractor {
     try {
       if (htmlBytes == null || htmlBytes.isEmpty)
         return failure(url, "empty-input")
+      // when the size cap cuts inside a multibyte UTF-8 sequence, back
+      // off up to 3 bytes so the truncated page still strict-decodes:
+      // without the trim a >cap UTF-8 page cut mid-codepoint failed the
+      // sniff's strict confirmation and the WHOLE document fell back to
+      // windows-1252 (r6 advice item 2 — the old lenient decode only
+      // corrupted the one trailing character)
       val sliced =
-        if (htmlBytes.length > cfg.maxHtmlBytes) java.util.Arrays.copyOf(htmlBytes, cfg.maxHtmlBytes)
+        if (htmlBytes.length > cfg.maxHtmlBytes)
+          trimIncompleteUtf8(java.util.Arrays.copyOf(htmlBytes, cfg.maxHtmlBytes))
         else htmlBytes
       // charset-sniffed decode (BOM \u2192 meta \u2192 UTF-8 sniff \u2192 cp1252, see
       // CharsetSniff) \u2014 for valid UTF-8 this is the same intrinsic
@@ -103,6 +110,28 @@ object Extractor {
       // a stale expired deadline must not poison other work on this thread
       DocBudget.clear()
     }
+  }
+
+  /** Drop a trailing INCOMPLETE UTF-8 sequence left by a byte-cap cut
+    * (at most 3 continuation bytes plus their lead). A complete
+    * sequence, pure ASCII, or already-invalid trailing bytes (no lead
+    * in range) are returned untouched — the trim only repairs damage
+    * the cap itself introduced, never the page's own encoding.
+    */
+  private[extract] def trimIncompleteUtf8(b: Array[Byte]): Array[Byte] = {
+    if (b.length == 0) return b
+    var i = b.length - 1
+    var cont = 0
+    while (i >= 0 && cont < 3 && (b(i) & 0xC0) == 0x80) { cont += 1; i -= 1 }
+    if (i < 0) return b
+    val lead = b(i) & 0xFF
+    val need =
+      if ((lead & 0x80) == 0) 0
+      else if ((lead & 0xE0) == 0xC0) 1
+      else if ((lead & 0xF0) == 0xE0) 2
+      else if ((lead & 0xF8) == 0xF0) 3
+      else 0 // stray continuation / invalid lead: not the cap's doing
+    if (need > cont) java.util.Arrays.copyOf(b, i) else b
   }
 
   private def failure(url: String, msg: String): ExtractedDoc =

@@ -54,10 +54,17 @@ object WarcPages {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
-  /** Decompress a whole gzip stream (concatenated members included). */
+  /** Decompress a whole gzip stream (concatenated members included).
+    * The initial buffer size is a HINT, clamped to 64 MB: `length * 4`
+    * overflows Int for inputs past 512 MB, which turned a valid large
+    * segment into a negative-size IllegalArgumentException silently
+    * mislabelled as gzip corruption (r6 advice item 1). The stream
+    * still grows to any decompressed size the heap allows.
+    */
   private def gunzipAll(b: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length.toLong, 64L) * 4L, 1L << 26).toInt)
     val buf = new Array[Byte](8192)
     var n = in.read(buf)
     while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -85,6 +92,12 @@ object WarcPages {
       if (isGzip(blob))
         try gunzipAll(blob)
         catch {
+          // OOM caught deliberately: a >2 GB decompressed segment must
+          // honor the never-throws contract as its own fault row, not
+          // kill the task (and not masquerade as gzip corruption)
+          case _: OutOfMemoryError =>
+            return Seq(WarcRecord(Map.empty, Array.emptyByteArray, 0L,
+              Some("gzip-too-large")))
           case _: Exception =>
             return Seq(WarcRecord(Map.empty, Array.emptyByteArray, 0L,
               Some("gzip-corrupt")))

@@ -57,6 +57,24 @@ class CharsetSniffSpec extends AnyFunSuite {
     assert(k.charset == "utf-8") // unknown label, bytes are valid utf-8
   }
 
+  test("utf-16 family labels read via the byte prescan remap to utf-8 (WHATWG)") {
+    // the ASCII meta tag being readable proves the content is not
+    // utf-16 — decoding as utf-16 would mojibake the whole page
+    val b = "<meta charset=\"utf-16\">héllo page".getBytes(UTF_8)
+    assert(decode(b) == CharsetSniff.Decoded("<meta charset=\"utf-16\">héllo page", "utf-8"))
+    val le = "<meta charset='utf-16le'>x".getBytes(UTF_8)
+    assert(decode(le).charset == "utf-8" && decode(le).text.endsWith("x"))
+  }
+
+  test("an explicit utf-8 declaration decodes leniently, not via the cp1252 fallback") {
+    // one stray continuation byte in a declared-utf-8 page: per-byte
+    // U+FFFD, NOT a whole-document windows-1252 reinterpretation
+    val b = "<meta charset=\"utf-8\">ok héllo ".getBytes(UTF_8) :+ 0x97.toByte
+    val d = decode(b)
+    assert(d.charset == "utf-8")
+    assert(d.text.contains("héllo") && d.text.endsWith("�"))
+  }
+
   test("a LITERAL U+FFFD in valid utf-8 is not mistaken for a decode failure") {
     val b = "a�b".getBytes(UTF_8)
     assert(decode(b) == CharsetSniff.Decoded("a�b", "utf-8"))

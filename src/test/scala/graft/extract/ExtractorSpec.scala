@@ -309,6 +309,26 @@ class ExtractorSpec extends AnyFunSuite {
     assert(out.length == 2 && out.forall(d => !d.ok && d.error == "timeout"))
   }
 
+  test("byte-cap cut inside a multibyte codepoint trims the partial sequence, no cp1252 flip") {
+    // html whose cap boundary lands BETWEEN the two bytes of 'é': before
+    // the trim the strict utf-8 confirmation failed and the WHOLE page
+    // fell back to windows-1252 ('Ã' mojibake on every multibyte char)
+    val body = "<html><body><p>héllo wörld begins hére and keeps going." // multibyte early
+    val bytes = (body + "é").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val cap = bytes.length - 1 // cuts between 0xC3 and 0xA9 of the final é
+    assert((bytes(cap - 1) & 0xFF) == 0xC3 && (bytes(cap) & 0xFF) == 0xA9)
+    val cfg = Extractor.default.copy(maxHtmlBytes = cap)
+    val d = Extractor.extract("u", bytes, cfg)
+    assert(d.markdown.contains("héllo wörld begins hére"), d.markdown)
+    assert(!d.markdown.contains("Ã"), s"cp1252 mojibake leaked: ${d.markdown}")
+    // a complete trailing sequence at the cap is NOT trimmed
+    val whole = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(Extractor.trimIncompleteUtf8(whole).length == whole.length)
+    // stray continuation tail (not the cap's doing) is left untouched
+    val stray = "ok".getBytes(java.nio.charset.StandardCharsets.UTF_8) :+ 0x97.toByte
+    assert(Extractor.trimIncompleteUtf8(stray).length == stray.length)
+  }
+
   test("span offsets always index into final markdown (invariant)") {
     val h =
       """<body><p>P1 <math alttext="x+1"></math> mid.</p><table id="z"><tr><td>c</td></tr></table>
