@@ -130,21 +130,22 @@ object GraphQueries {
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
         .localCheckpoint()
-      // out-degree folded onto each edge ONCE: the rounds previously
-      // re-joined (and re-aggregated) outdeg every iteration — 3× the
-      // same shuffle for a value that never changes between rounds
-      val edgesOd = edges
-        .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
-        .select(col("src"), col("dst"), col("od"))
-        .localCheckpoint()
+      // out-degree computed ONCE (it never changes between rounds — the
+      // old loop re-joined and re-aggregated it every iteration), kept
+      // as a node-count table; each round attaches (rank, od) to the
+      // edges via ONE small broadcast instead of materializing a second
+      // 415k-row edge copy
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint()
       var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
-      // broadcast hints as in q63: ranks is node-count rows and contrib
-      // hub-count rows — both far under the broadcast cap — but the
-      // checkpointed inputs carry no size stats, so the planner would
-      // otherwise shuffle the edge list each round (guide §3.1)
+      // broadcast hints as in q63: ranks/outdeg are node-count rows and
+      // contrib hub-count rows — all far under the broadcast cap — but
+      // the checkpointed inputs carry no size stats, so the planner
+      // would otherwise shuffle the edge list every round (guide §3.1)
       for (_ <- 1 to 3) {
-        val contrib = edgesOd
-          .join(broadcast(ranks), col("src") === col("node"))
+        val rankOd = ranks.join(outdeg, ranks("node") === outdeg("src"))
+          .select(col("src"), col("od"), col("rank"))
+        val contrib = edges
+          .join(broadcast(rankOd), "src")
           .select(col("dst"), expr("rank div od").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("in_sum"))
         ranks = nodes
