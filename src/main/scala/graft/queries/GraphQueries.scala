@@ -127,38 +127,47 @@ object GraphQueries {
             .otherwise(col("href")).as("dst"))
         .distinct()
         .localCheckpoint()
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
+      // Sparse rank state (provably equivalent to a dense node table,
+      // with no data assumption): by the update rule, a node with NO
+      // in-edges has rank exactly 150000 after every round (coalesce of
+      // a NULL in_sum) and 1000000 at init — a constant. So the only
+      // per-node state worth carrying is the in-linked nodes' ranks
+      // (the contrib keys); every other node's rank is the round's base
+      // constant, supplied via coalesce at the one place ranks are read
+      // (the src side of the contribution join). This removes the
+      // union+distinct node table (two passes + a shuffle over 2·|E|
+      // url strings) and shrinks the per-round broadcast from
+      // node-count rows to in-linked-count rows.
+      val edgesOd = edges
+        .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+        .select(col("src"), col("dst"), col("od"))
         .localCheckpoint()
-      // out-degree computed ONCE (it never changes between rounds — the
-      // old loop re-joined and re-aggregated it every iteration), kept
-      // as a node-count table; each round attaches (rank, od) to the
-      // edges via ONE small broadcast instead of materializing a second
-      // 415k-row edge copy
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint()
-      var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
-      // broadcast hints as in q63: ranks/outdeg are node-count rows and
-      // contrib hub-count rows — all far under the broadcast cap — but
-      // the checkpointed inputs carry no size stats, so the planner
-      // would otherwise shuffle the edge list every round (guide §3.1)
+      var dstRanks: Option[org.apache.spark.sql.DataFrame] = None
+      var base = 1000000L
       for (_ <- 1 to 3) {
-        val rankOd = ranks.join(outdeg, ranks("node") === outdeg("src"))
-          .select(col("src"), col("od"), col("rank"))
-        val contrib = edges
-          .join(broadcast(rankOd), "src")
+        val withRank = dstRanks match {
+          case None => edgesOd.withColumn("rank", lit(base))
+          case Some(dr) => edgesOd
+            .join(broadcast(dr), col("src") === col("node"), "left")
+            .select(col("src"), col("dst"), col("od"),
+              coalesce(col("rank"), lit(base)).as("rank"))
+        }
+        val contrib = withRank
           .select(col("dst"), expr("rank div od").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-        ranks = nodes
-          .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
-          .select(col("node"),
+        dstRanks = Some(contrib
+          .select(col("dst").as("node"),
             expr("150000L + (coalesce(in_sum, 0L) * 85L) div 100L").as("rank"))
-          .localCheckpoint()
+          .localCheckpoint())
+        base = 150000L
       }
       // join authority back onto the documents: per page family, the
       // total rank mass of the pages' distinct link targets — the
-      // quality-filter feed (pages linking into high-authority hubs)
+      // quality-filter feed (pages linking into high-authority hubs).
+      // Every dst has in-edges by definition, so dstRanks covers the
+      // join completely.
       edges
-        .join(broadcast(ranks), edges("dst") === ranks("node"))
+        .join(broadcast(dstRanks.get), edges("dst") === col("node"))
         .select(split(col("src"), "/").getItem(3).as("family"),
           col("src"), col("rank"))
         .groupBy("family")
