@@ -320,6 +320,10 @@ object Dedup {
   /** LSH candidate pairs with token-set Jaccard columns — the shared
     * verify pipeline behind q22 (reporting) and q38 (clustering). */
   private def pairsWithJaccard(s: SparkSession, d: DataFrame): DataFrame = {
+    // deliberately NOT persisted: bands and the token map are
+    // corpus-sized, and re-deriving them per consumer measured flat at
+    // bench scale — caching corpus-wide intermediates would trade
+    // nothing here for real memory pressure at 100 TB (guide §5)
     val bands = bandsDf(sigDf(s, d))
     // broadcast hints: the band stream and the candidate-pair set are a
     // few narrow longs per doc, but they sit behind typed maps whose
