@@ -438,7 +438,10 @@ object Dedup {
         .distinct().localCheckpoint()
       // both sides are distinct sets, so equal counts + one-sided
       // emptiness ⟹ equality; the count gate skips the expensive
-      // except entirely in the rounds that are still shrinking
+      // except entirely in the rounds that are still shrinking (the
+      // except stays the shuffle-based form — the edge set is
+      // corpus-scale, so a broadcast equality probe would not survive
+      // 100 TB even though it measures faster locally)
       val nextCount = next.count()
       done = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
