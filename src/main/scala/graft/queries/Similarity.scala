@@ -796,8 +796,12 @@ object Similarity {
     val en = norm.getOrElse(normRows(s.read.parquet(s"$dir/embeddings.parquet")))
     // init: the first ⌈√n⌉ NORMALIZED vectors — the same deterministic
     // "sample" the untrained √n chain uses (centroidTable), but on the
-    // spherical coordinates the Lloyd rounds refine
-    val k = math.min(math.ceil(math.sqrt(en.count().toDouble)).toLong, MaxBroadcastCells)
+    // spherical coordinates the Lloyd rounds refine. k comes from the
+    // PARQUET count (footer metadata, no scan) — normRows is 1:1 with
+    // the table, and counting the persisted typed map instead forced a
+    // full materialization pass just to size the codebook
+    val k = math.min(math.ceil(math.sqrt(
+      s.read.parquet(s"$dir/embeddings.parquet").count().toDouble)).toLong, MaxBroadcastCells)
     val cb0 = collectCents(en.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("ne").as("ce")))
     val trained = (1 to 3).foldLeft(cb0)((cb, _) => lloydRound(en, cb))
@@ -979,10 +983,12 @@ object Similarity {
   val q49ProbeSweep = QueryDef(
     "q49_probe_sweep",
     (s, dir) => {
-      // one normalization pass: k comes from the cached norm rows and
-      // threads into the trained chain instead of a second parquet scan
+      // one normalization pass shared with the trained chain; k from the
+      // parquet footer count (metadata-only — counting the persisted
+      // typed map would materialize it just to size the codebook)
       val norm = normRows(s.read.parquet(s"$dir/embeddings.parquet"))
-      val k = math.min(math.ceil(math.sqrt(norm.count().toDouble)).toLong, MaxBroadcastCells)
+      val k = math.min(math.ceil(math.sqrt(
+        s.read.parquet(s"$dir/embeddings.parquet").count().toDouble)).toLong, MaxBroadcastCells)
       // The top budget ⌈k/2⌉ is the measurement-campaign operating point
       // (~50% scan — a property of the directionally-uniform synthetic
       // corpus, see doc above). Bench caps it via this system property
