@@ -999,8 +999,36 @@ object Similarity {
       val half = math.min(scanTargetProbes(k, 0.5), cap)
       val aAll = trainedAssignedDf(s, dir, probes = half, norm = Some(norm))
       val exact = exactTop5(aAll).persist() // shared across the three budgets
+      // ONE candidate join + ONE compiled cosine pass serves every
+      // budget: a candidate's home is a single cell and the probe list
+      // is distinct cells, so each (qid, nid) pair appears at exactly
+      // one probe position — "assignment sliced to the first p probes"
+      // ≡ "pairs with ppos < p", and the old per-budget re-join +
+      // re-score collapses into a filter over one scored pair set
+      // (bounded: query sample × probed candidates, the eval working
+      // set the sweep already materializes per budget).
+      import s.implicits._
+      val cands = aAll.select(col("vec_id").as("nid"), col("home").as("ncell"),
+        col("embedding").as("ne"), col("nrm").as("cn"))
+      val qsP = aAll.filter(col("vec_id") % 100 === 4)
+        .select(col("vec_id").as("qid"),
+          posexplode(col("probes")).as(Seq("ppos", "pcell")),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = qsP.join(cands, col("pcell") === col("ncell") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), col("ppos"), col("qe"), col("ne"), col("qn"), col("cn"))
+        .as[(Long, Long, Int, Array[Float], Array[Float], Double, Double)]
+        .mapPartitions(_.map { case (qid, nid, ppos, qe, ne, qn, cn) =>
+          (qid, nid, ppos, cos6Hoisted(qe, ne, qn, cn))
+        })
+        .toDF("qid", "nid", "ppos", "cos6")
+        .persist()
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+      val qids = aAll.filter(col("vec_id") % 100 === 4).select(col("vec_id").as("qid"))
       Seq(1, 3, half).map { p =>
-        recallFromAssigned(aAll.withColumn("probes", slice(col("probes"), 1, p)), Some(exact))
+        val ivf = scored.filter(col("ppos") < p)
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+          .select(col("qid"), col("nid"))
+        recallScore(qids, ivf, exact)
           .agg(count(lit(1)).as("n_queries"),
             round(sum(col("recall5").cast("decimal(9,6)")).cast("double") / count(lit(1)), 6)
               .as("mean_recall5"))
