@@ -976,9 +976,10 @@ object Similarity {
     * point at BOTH scales, and the knob that holds it as n grows is
     * the scan fraction, not a constant probe count — on clustered
     * real-world embeddings the same machinery reaches it at far lower
-    * fractions. The top-⌈k/2⌉ assignment is computed once; each budget
-    * slices its prefix (the top-k rule is prefix-stable), and the
-    * exact baseline is shared.
+    * fractions. The top-⌈k/2⌉ assignment is computed once and its
+    * candidate pairs are scored once carrying their probe POSITION
+    * (the top-k rule is prefix-stable, so budget p is the ppos < p
+    * filter over that one scored set); the exact baseline is shared.
     */
   val q49ProbeSweep = QueryDef(
     "q49_probe_sweep",
