@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph operators. Web-corpus pipelines rank hosts/pages by link
@@ -120,13 +121,11 @@ object GraphQueries {
           graft.extract.Outlinks.extract(r.html).map(l => (r.url, l.href))
         })
         .toDF("url", "href")
-      val edges = links
+      val rawEdges = links
         .select(col("url").as("src"),
           when(col("href").startsWith("/"),
             concat(regexp_extract(col("url"), "^(https?://[^/]+)", 1), col("href")))
             .otherwise(col("href")).as("dst"))
-        .distinct()
-        .localCheckpoint()
       // Sparse rank state (provably equivalent to a dense node table,
       // with no data assumption): by the update rule, a node with NO
       // in-edges has rank exactly 150000 after every round (coalesce of
@@ -138,10 +137,26 @@ object GraphQueries {
       // union+distinct node table (two passes + a shuffle over 2·|E|
       // url strings) and shrinks the per-round broadcast from
       // node-count rows to in-linked-count rows.
-      val edgesOd = edges
-        .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
-        .select(col("src"), col("dst"), col("od"))
+      // ONE shuffle builds the whole edge state (was two full edge
+      // shuffles + a checkpointed join whose build side AQE picked
+      // WRONG — it broadcast the full 416k-row URL edge list, ~88 MiB
+      // estimated, over the 10.8 MiB degree aggregate;
+      // plans/r07/q72_link_rank_rounds_before.txt execution 3).
+      // Hash-partitioning on src alone co-locates every duplicate
+      // (src,dst) pair AND every row of a src group, so the explicit
+      // repartition satisfies the clustered distribution of both the
+      // distinct and the out-degree window — EnsureRequirements inserts
+      // no further Exchange (guide §2.1/§2.2: partial matching of the
+      // required clustering; the rounds_after plan shows one Exchange
+      // total). No size estimate, no driver round-trip; at crawl scale
+      // neither edge endpoints nor per-src degrees fit a broadcast —
+      // partition-local dedup + counting is the shape that survives.
+      val edgesOd = rawEdges
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+        .withColumn("od", count(lit(1)).over(Window.partitionBy("src")))
         .localCheckpoint()
+      val edges = edgesOd.select("src", "dst")
       var dstRanks: Option[org.apache.spark.sql.DataFrame] = None
       var base = 1000000L
       for (_ <- 1 to 3) {
